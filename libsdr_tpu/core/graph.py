@@ -1,0 +1,111 @@
+"""Pipeline builder — the TPU-native analog of the reference's node graph.
+
+The reference wires nodes with ``Source::connect`` and "compiles" the graph by
+propagating ``Config`` records through it (reference: src/node.cc:87-114).
+Here a :class:`Pipeline` is an ordered chain of processors; :meth:`bind` runs
+the same spec-propagation pass, and :meth:`compile` produces one jitted
+
+    step(carry, block) -> (carry, out_block)
+
+covering the entire chain — the analog of all ``direct=true`` edges fused into
+one XLA program (reference edge dispatch: src/node.cc:66-84).  Fan-out (the
+reference's multi-sink ``Source::send``) is provided by :class:`Tee`, which
+returns a tuple of branch outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+
+from libsdr_tpu.core.block import Carry, Processor
+from libsdr_tpu.core.stream import StreamSpec
+
+
+class Pipeline(Processor):
+    """Sequential composition of processors.
+
+    A Pipeline is itself a Processor, so pipelines nest (the analog of
+    composite reference chains like sdr_fm's RTL -> AutoCast -> IQBaseBand ->
+    FMDemod -> FMDeemph -> PortSink, reference: examples/sdr_fm.cc:38-64).
+    """
+
+    def __init__(self, stages: Sequence[Processor], name: str = "Pipeline"):
+        super().__init__()
+        self.stages: List[Processor] = list(stages)
+        self.name = name
+        self._step = None
+
+    # -- spec propagation (the "Config propagation" pass) ---------------------
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        spec = in_spec
+        for stage in self.stages:
+            spec = stage.bind(spec)
+        return spec
+
+    def init_carry(self) -> Carry:
+        return tuple(stage.init_carry() for stage in self.stages)
+
+    def apply(self, carry: Carry, x) -> Tuple[Carry, Any]:
+        new_carries = []
+        for stage, c in zip(self.stages, carry):
+            c, x = stage.apply(c, x)
+            new_carries.append(c)
+        return tuple(new_carries), x
+
+    # -- compilation -----------------------------------------------------------
+
+    def compile(self, donate_carry: bool = False):
+        """Return a jitted ``step(carry, x) -> (carry, y)``.
+
+        ``donate_carry`` donates the carry buffers so XLA updates state in
+        place — the analog of the reference's allow_overwrite in-place
+        discipline (reference: src/node.cc:73-81).  Off by default: carries
+        are small, and the axon TPU backend mishandles donated buffers
+        (InvalidArgument on later reads).
+        """
+        if self._step is None:
+            donate = (0,) if donate_carry else ()
+            self._step = jax.jit(self.apply, donate_argnums=donate)
+        return self._step
+
+    def describe(self) -> str:
+        """Human-readable config echo of each bound stage — the analog of the
+        reference's per-node debug log on reconfigure (e.g. src/baseband.hh:179-189)."""
+        lines = [f"{self.name}:"]
+        for stage in self.stages:
+            out = str(stage.out_spec) if stage.is_bound else "(unbound)"
+            lines.append(f"  {type(stage).__name__:<24} -> {out}")
+        return "\n".join(lines)
+
+
+class Tee(Processor):
+    """Fan-out: feed one input to N branch processors, return a tuple of their
+    outputs (the analog of ``Source::send`` to multiple connected sinks,
+    reference: src/node.cc:66-84)."""
+
+    def __init__(self, branches: Sequence[Processor]):
+        super().__init__()
+        self.branches: List[Processor] = list(branches)
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        self._branch_specs = tuple(b.bind(in_spec) for b in self.branches)
+        # A Tee's "spec" is its first branch's spec; use branch_specs for the rest.
+        return self._branch_specs[0]
+
+    @property
+    def branch_specs(self) -> Tuple[StreamSpec, ...]:
+        return self._branch_specs
+
+    def init_carry(self) -> Carry:
+        return tuple(b.init_carry() for b in self.branches)
+
+    def apply(self, carry: Carry, x):
+        new_carries, outs = [], []
+        for b, c in zip(self.branches, carry):
+            c, y = b.apply(c, x)
+            new_carries.append(c)
+            outs.append(y)
+        return tuple(new_carries), tuple(outs)

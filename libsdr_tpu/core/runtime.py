@@ -1,0 +1,108 @@
+"""Host streaming driver — the TPU-native analog of the reference's ``Queue``.
+
+The reference runs a singleton message loop in one pthread: sources enqueue
+buffers, the loop dispatches each to its sink, and idle callbacks re-prime
+file sources (reference: src/queue.cc:83-125).  On TPU the device is the
+worker: the host driver streams fixed-size blocks from a source iterator into
+one jitted step function and hands results to a sink callback.  JAX dispatch
+is asynchronous, so while the device computes block *i* the host is already
+reading and transferring block *i+1* — the double-buffering that replaces the
+reference's producer/consumer queue (reference: src/queue.cc:35-43).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libsdr_tpu.core import cplx
+from libsdr_tpu.core.graph import Pipeline
+from libsdr_tpu.core.stream import StreamSpec
+from libsdr_tpu.utils.logging import get_logger
+
+_log = get_logger(__name__)
+
+
+def stream_blocks(samples: np.ndarray, block_size: int,
+                  pad_value=0) -> Iterator[np.ndarray]:
+    """Yield fixed-size blocks from a sample array along the trailing axis,
+    zero-padding the final partial block (the analog of WavSource reading
+    ``buffer_size`` frames per Queue-idle, reference: src/wavfile.cc:198-237)."""
+    n = samples.shape[-1]
+    for start in range(0, n, block_size):
+        blk = samples[..., start:start + block_size]
+        if blk.shape[-1] < block_size:
+            pad = block_size - blk.shape[-1]
+            widths = [(0, 0)] * (blk.ndim - 1) + [(0, pad)]
+            blk = np.pad(blk, widths, constant_values=pad_value)
+        yield blk
+
+
+def run_pipeline(pipeline: Pipeline,
+                 blocks: Iterable[Any],
+                 sink: Optional[Callable[[np.ndarray], None]] = None,
+                 carry: Any = None,
+                 collect: bool = True,
+                 device=None):
+    """Drive ``pipeline`` over an iterable of input blocks.
+
+    Args:
+      pipeline: a bound Pipeline.
+      blocks: iterable of input blocks (numpy or jax arrays) matching
+        ``pipeline.in_spec.shape``.
+      sink: optional callback receiving each output block as numpy.
+      carry: initial carry; defaults to ``pipeline.init_carry()``.
+      collect: if True, concatenate and return all outputs along time.
+      device: optional jax device for explicit placement.
+
+    Returns:
+      (carry, outputs) where outputs is the concatenated output array if
+      ``collect`` else None.
+    """
+    step = pipeline.compile()
+    if carry is None:
+        carry = pipeline.init_carry()
+    outs = []
+    pending = []  # keep a small window of in-flight device results
+
+    def drain(y):
+        y = cplx.to_numpy(y)  # complex streams come back planar
+        if sink is not None:
+            sink(y)
+        if collect:
+            outs.append(y)
+
+    for blk in blocks:
+        x = cplx.as_block(blk)
+        if device is not None:
+            x = jax.device_put(x, device)
+        carry, y = step(carry, x)
+        pending.append(y)
+        # Bound host-side queue depth to 2 in-flight blocks (double buffer).
+        if len(pending) > 2:
+            drain(pending.pop(0))
+    for y in pending:
+        drain(y)
+    out = np.concatenate(outs, axis=-1) if (collect and outs) else None
+    return carry, out
+
+
+class Throughput:
+    """Simple throughput meter for the host driver (the observability the
+    reference lacks; SURVEY.md section 5)."""
+
+    def __init__(self) -> None:
+        self.samples = 0
+        self.t0 = time.perf_counter()
+
+    def add(self, n: int) -> None:
+        self.samples += n
+
+    @property
+    def msps(self) -> float:
+        dt = time.perf_counter() - self.t0
+        return self.samples / dt / 1e6 if dt > 0 else float("inf")

@@ -1,0 +1,111 @@
+"""Core runtime tests: spec propagation, pipeline compile, streaming driver.
+Mirrors the reference's testing idiom — drive nodes with synthetic buffers and
+inspect captured output (reference: test/coreutilstest.cc:12-75)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libsdr_tpu import Pipeline, Processor, StreamSpec
+from libsdr_tpu.core import ConfigError, run_pipeline, stream_blocks
+from libsdr_tpu.core.block import Lambda
+from libsdr_tpu.ops.utils import (Cast, Deinterleave, Interleave, RealPart,
+                                  Scale, SignedToUnsigned, ToComplex,
+                                  UnsignedToSigned)
+
+
+def test_spec_propagation():
+    spec = StreamSpec(jnp.float32, 48000, 1024)
+    p = Pipeline([ToComplex(), RealPart(), Scale(2.0)])
+    out = p.bind(spec)
+    assert out.dtype == jnp.float32
+    assert out.block_size == 1024
+    assert float(out.sample_rate) == 48000
+
+
+def test_dtype_validation_raises():
+    spec = StreamSpec(jnp.complex64, 48000, 1024)
+    with pytest.raises(ConfigError):
+        Pipeline([ToComplex()]).bind(spec)  # complex input to ToComplex
+
+
+def test_pipeline_step_and_driver(rng):
+    spec = StreamSpec(jnp.float32, 8000, 256)
+    p = Pipeline([Scale(0.5), Lambda(lambda x: x + 1.0)])
+    p.bind(spec)
+    x = rng.normal(size=4 * 256).astype(np.float32)
+    _, y = run_pipeline(p, stream_blocks(x, 256))
+    np.testing.assert_allclose(y, 0.5 * x + 1.0, rtol=1e-6)
+
+
+def test_stream_blocks_pads_final_block():
+    x = np.arange(10, dtype=np.float32)
+    blocks = list(stream_blocks(x, 4))
+    assert len(blocks) == 3
+    np.testing.assert_array_equal(blocks[2], [8, 9, 0, 0])
+
+
+def test_unsigned_signed_roundtrip():
+    """Reference idiom test (test/coreutilstest.cc:12-40): cast nodes."""
+    spec = StreamSpec(jnp.uint8, 8000, 8)
+    p = Pipeline([UnsignedToSigned(), SignedToUnsigned()])
+    out = p.bind(spec)
+    assert out.dtype == jnp.uint8
+    x = jnp.arange(8, dtype=jnp.uint8) * 30
+    _, y = p.apply(p.init_carry(), x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_interleave_deinterleave():
+    """Reference: test/coreutilstest.cc Interleave + src/combine.hh:216-227."""
+    spec = StreamSpec(jnp.float32, 1000, 16, channels=(3,))
+    inter = Interleave(3)
+    out = inter.bind(spec)
+    assert out.block_size == 48 and float(out.sample_rate) == 3000
+    x = np.arange(48, dtype=np.float32).reshape(3, 16)
+    _, y = inter.apply((), jnp.asarray(x))
+    # out[n*3+k] == in[k, n]
+    y = np.asarray(y)
+    for k in range(3):
+        np.testing.assert_array_equal(y[k::3], x[k])
+    de = Deinterleave(3)
+    de.bind(out)
+    _, z = de.apply((), jnp.asarray(y))
+    np.testing.assert_array_equal(np.asarray(z), x)
+
+
+def test_carry_streaming_equals_oneshot(rng):
+    """Block-size invariance: processing in 8 blocks == one big block.
+    This is the core overlap-save contract."""
+    from libsdr_tpu.ops.fir import FIRFilter
+    x = rng.normal(size=2048).astype(np.float32)
+    for blocks, bs in [(1, 2048), (8, 256)]:
+        spec = StreamSpec(jnp.float32, 48000, bs)
+        f = FIRFilter(order=31, kind="lowpass", fu=4000)
+        f.bind(spec)
+        carry = f.init_carry()
+        ys = []
+        for i in range(blocks):
+            carry, y = f.apply(carry, jnp.asarray(x[i * bs:(i + 1) * bs]))
+            ys.append(np.asarray(y))
+        if blocks == 1:
+            ref = np.concatenate(ys)
+        else:
+            np.testing.assert_allclose(np.concatenate(ys), ref, atol=1e-5)
+
+
+def test_channel_batching(rng):
+    """Leading channel dims broadcast: (4, B) == 4x independent (B,)."""
+    from libsdr_tpu.ops.fir import FIRFilter
+    x = rng.normal(size=(4, 512)).astype(np.float32)
+    spec_multi = StreamSpec(jnp.float32, 48000, 512, channels=(4,))
+    f = FIRFilter(order=21, kind="lowpass", fu=4000)
+    f.bind(spec_multi)
+    _, y_multi = f.apply(f.init_carry(), jnp.asarray(x))
+    spec_one = StreamSpec(jnp.float32, 48000, 512)
+    for c in range(4):
+        f1 = FIRFilter(order=21, kind="lowpass", fu=4000)
+        f1.bind(spec_one)
+        _, y1 = f1.apply(f1.init_carry(), jnp.asarray(x[c]))
+        np.testing.assert_allclose(np.asarray(y_multi)[c], np.asarray(y1),
+                                   atol=1e-6)
