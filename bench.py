@@ -1,0 +1,79 @@
+"""Headline benchmark: complex Msamples/s/chip through the FIR+FM chain
+(BASELINE.json metric; reference chain = SURVEY.md 3.2).
+
+Runs the same chain configuration as the measured C++ reference baseline
+(IQBaseBand order=64 decim=4 -> FMDemod -> FMDeemph) as a multi-channel bank
+on one TPU chip — the channel (batch) axis is how a TPU earns its throughput —
+and reports aggregate complex input Msamples/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msps", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build(n_channels: int, block: int, fs: float = 960_000.0):
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import FMDemod, FMDeemph, IQBaseBand
+
+    spec = StreamSpec(np.complex64, fs, block, channels=(n_channels,))
+    rx = Pipeline([
+        IQBaseBand(fc=fs / 8, width=fs / 4.8, order=64, decim=4,
+                   design="textbook"),
+        FMDemod(),
+        FMDeemph(),
+    ], name="fm_rx_bank")
+    rx.bind(spec)
+    return rx
+
+
+def main() -> None:
+    import jax
+
+    from libsdr_tpu.core import cplx
+
+    n_channels, block = 64, 1 << 17
+    rx = build(n_channels, block)
+    step = rx.compile()
+    carry = rx.init_carry()
+
+    key = jax.random.PRNGKey(0)
+    shape = (n_channels, block)
+    x = cplx.Complex(jax.random.normal(key, shape, np.float32),
+                     jax.random.normal(key, shape, np.float32))
+
+    # Warmup / compile.
+    c, y = step(carry, x)
+    jax.block_until_ready(y)
+
+    iters = 20
+    t0 = time.perf_counter()
+    c = carry
+    for _ in range(iters):
+        c, y = step(c, x)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+
+    msps = n_channels * block * iters / dt / 1e6
+    try:
+        with open("BASELINE_MEASURED.json") as f:
+            baseline = json.load(f)["reference_value_msps"]
+    except Exception:
+        baseline = 8.34
+    print(json.dumps({
+        "metric": "complex Msamples/s/chip through FIR+FM chain "
+                  f"({n_channels} channels, order=64, decim=4)",
+        "value": round(msps, 2),
+        "unit": "Msps",
+        "vs_baseline": round(msps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

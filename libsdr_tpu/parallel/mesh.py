@@ -1,0 +1,72 @@
+"""Mesh + sharding helpers: run a bound Pipeline's step function SPMD over a
+``jax.sharding.Mesh`` with channels sharded on one axis and the time block on
+another.
+
+Design (the "How to Scale Your Model" recipe): annotate the input block with a
+NamedSharding, replicate or channel-shard the carries, and let XLA GSPMD
+propagate shardings and insert the collectives (halo exchanges for the
+overlap-save convolutions ride the ICI as collective-permutes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from libsdr_tpu.core import cplx
+from libsdr_tpu.core.graph import Pipeline
+
+
+def make_mesh(n_channel: int = 0, n_time: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ('ch', 'time') mesh.  ``n_channel=0`` uses all remaining
+    devices on the channel axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_channel <= 0:
+        n_channel = len(devices) // n_time
+    devs = np.asarray(devices[:n_channel * n_time]).reshape(n_channel, n_time)
+    return Mesh(devs, ("ch", "time"))
+
+
+def _shard_carry(carry, mesh: Mesh, n_channels: int):
+    """Shard carry leaves whose leading dim is the channel dim over 'ch';
+    replicate everything else (scalars, NCO phasors, small tails)."""
+
+    def place(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                leaf.shape[0] == n_channels:
+            spec = P("ch", *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, carry)
+
+
+def shard_pipeline_step(pipeline: Pipeline, mesh: Mesh,
+                        shard_time: bool = True):
+    """Compile a bound pipeline into an SPMD step over ``mesh``.
+
+    Returns (step, place_input, carry) where ``place_input`` puts a host
+    block onto the mesh with (channels->'ch', time->'time') sharding and
+    ``carry`` is the initial carry placed on the mesh.
+    """
+    in_spec = pipeline.in_spec
+    assert in_spec.channels, "shard_pipeline_step needs a channel dim"
+    n_ch = in_spec.channels[0]
+    # Channels on 'ch', trailing time dim on 'time'.
+    dims = ["ch"] + [None] * (len(in_spec.channels) - 1) + \
+           (["time"] if shard_time else [None])
+    block_sharding = NamedSharding(mesh, P(*dims))
+
+    def place_input(block):
+        x = cplx.as_block(block)
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, block_sharding), x)
+
+    carry = _shard_carry(pipeline.init_carry(), mesh, n_ch)
+    step = jax.jit(pipeline.apply)
+    return step, place_input, carry
