@@ -69,13 +69,16 @@ class StreamSpec:
     sample_rate: Fraction
     block_size: int
     channels: Tuple[int, ...] = ()
+    ragged: bool = False  # True: blocks are Ragged(data, valid) at capacity
+    #                       block_size and *nominal* rate sample_rate
 
     def __init__(self, dtype, sample_rate: RateLike, block_size: int,
-                 channels: Tuple[int, ...] = ()):
+                 channels: Tuple[int, ...] = (), ragged: bool = False):
         object.__setattr__(self, "dtype", jnp.dtype(dtype))
         object.__setattr__(self, "sample_rate", _as_fraction(sample_rate))
         object.__setattr__(self, "block_size", int(block_size))
         object.__setattr__(self, "channels", tuple(int(c) for c in channels))
+        object.__setattr__(self, "ragged", bool(ragged))
 
     # -- geometry ----------------------------------------------------------
 
@@ -109,7 +112,8 @@ class StreamSpec:
         """Functional update (named like dataclasses.replace but tolerant of
         the custom __init__)."""
         cur = dict(dtype=self.dtype, sample_rate=self.sample_rate,
-                   block_size=self.block_size, channels=self.channels)
+                   block_size=self.block_size, channels=self.channels,
+                   ragged=self.ragged)
         cur.update(kw)
         return StreamSpec(**cur)
 

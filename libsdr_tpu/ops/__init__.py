@@ -17,8 +17,12 @@ from libsdr_tpu.ops.utils import (
     UnsignedToSigned, SignedToUnsigned, Interleave,
 )
 from libsdr_tpu.ops.siggen import sine, iq_carrier, gaussian_noise
+from libsdr_tpu.ops.fsk import FSKDetector, ASKDetector
+from libsdr_tpu.ops.bitsync import BitStream
+from libsdr_tpu.ops.psk31 import BPSK31
 
 __all__ = [
+    "FSKDetector", "ASKDetector", "BitStream", "BPSK31",
     "firdesign", "FIRFilter", "fir_overlap_save", "FreqShift", "IQBaseBand",
     "AMDemod", "USBDemod", "FMDemod", "FMDeemph", "iir_first_order",
     "SubSample", "FracSubSample", "InpolSubSampler", "AGC",

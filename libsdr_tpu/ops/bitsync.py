@@ -1,0 +1,109 @@
+"""Bit-clock recovery PLL (reference: src/fsk.{hh,cc} BitStream).
+
+The reference recovers the bit clock with a per-sample PLL: a majority vote
+over the last L symbols, a phase accumulator that samples a bit on overflow,
+and a +-0.5% bounded frequency nudge on every symbol transition
+(reference: src/fsk.cc:157-202).  This is inherently sequential per channel,
+so it runs as a ``lax.scan`` over time with all state vectorized over the
+leading channel dims — sequential in time, massively parallel across
+channels (SURVEY.md section 7 "hard parts").
+
+Output is a :class:`~libsdr_tpu.core.ragged.Ragged` bit stream: one slot per
+input symbol, valid where the PLL sampled a bit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libsdr_tpu.core.block import Processor
+from libsdr_tpu.core.ragged import Ragged
+from libsdr_tpu.core.stream import StreamSpec
+
+NORMAL = "normal"          # mark -> 1, space -> 0
+TRANSITION = "transition"  # transition -> 0, no transition -> 1 (NRZI)
+
+
+class BitStream(Processor):
+    """Args:
+      baud: bit rate of the input symbol stream.
+      mode: 'normal' or 'transition' (reference: src/fsk.hh:127-131).
+    """
+
+    def __init__(self, baud: float, mode: str = TRANSITION):
+        super().__init__()
+        if mode not in (NORMAL, TRANSITION):
+            raise ValueError(f"BitStream: unknown mode {mode!r}")
+        self.baud = float(baud)
+        self.mode = mode
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        in_spec.require_dtype("BitStream", jnp.uint8)
+        fs = in_spec.rate_hz
+        self.corr_len = int(fs / self.baud)       # src/fsk.cc:122
+        self._omega0 = self.baud / fs             # src/fsk.cc:127
+        self._omega_min = self._omega0 * (1 - 0.005)  # src/fsk.cc:129-130
+        self._omega_max = self._omega0 * (1 + 0.005)
+        self._pll_gain = 0.0005                   # src/fsk.cc:132
+        return in_spec.with_(dtype=jnp.uint8, sample_rate=self.baud,
+                             ragged=True)
+
+    def init_carry(self):
+        ch = self.in_spec.channels
+        L = self.corr_len
+        return dict(
+            t=jnp.zeros((), jnp.int32),                    # sample count mod L
+            symbols=jnp.zeros(ch + (L,), jnp.int32),       # ring of +-1 (init 0)
+            sym_sum=jnp.zeros(ch, jnp.int32),
+            phase=jnp.zeros(ch, jnp.float32),
+            omega=jnp.full(ch, self._omega0, jnp.float32),
+            last_bits=jnp.zeros(ch, jnp.int32),
+        )
+
+    def apply(self, carry, x):
+        L = self.corr_len
+        mode_transition = self.mode == TRANSITION
+        onehots = jnp.eye(L, dtype=jnp.int32)
+
+        def step(state, sym):
+            t, symbols, sym_sum, phase, omega, last_bits = state
+            # -- majority ring update (src/fsk.cc:163-168)
+            idx = t % L
+            old = symbols[..., idx]
+            new = jnp.where(sym > 0, 1, -1).astype(jnp.int32)
+            last_sym_sum = sym_sum
+            sym_sum = sym_sum - old + new
+            symbols = symbols * (1 - onehots[idx]) + new[..., None] * onehots[idx]
+            # -- phase advance & bit sampling (src/fsk.cc:170-187)
+            phase = phase + omega
+            emit = phase >= 1.0
+            phase = jnp.where(emit, phase - 1.0, phase)
+            bit_now = (sym_sum > 0).astype(jnp.int32)
+            new_last_bits = jnp.where(
+                emit, ((last_bits << 1) | bit_now) & 0xFFFF, last_bits)
+            if mode_transition:
+                bit = (new_last_bits ^ (new_last_bits >> 1) ^ 1) & 1
+            else:
+                bit = new_last_bits & 1
+            # -- PLL nudge on symbol transition (src/fsk.cc:189-198)
+            crossed = ((last_sym_sum < 0) & (sym_sum >= 0)) | \
+                      ((last_sym_sum >= 0) & (sym_sum < 0))
+            delta = jnp.where(phase < 0.5,
+                              self._pll_gain * (0.5 - phase),
+                              -self._pll_gain * (phase - 0.5))
+            omega = jnp.where(crossed, omega + delta, omega)
+            omega = jnp.clip(omega, self._omega_min, self._omega_max)
+            new_state = (t + 1, symbols, sym_sum, phase, omega, new_last_bits)
+            return new_state, (bit.astype(jnp.uint8), emit)
+
+        x_t = jnp.moveaxis(x, -1, 0)  # time-major for scan
+        state = (carry["t"], carry["symbols"], carry["sym_sum"],
+                 carry["phase"], carry["omega"], carry["last_bits"])
+        state, (bits, valid) = jax.lax.scan(step, state, x_t)
+        t, symbols, sym_sum, phase, omega, last_bits = state
+        new_carry = dict(t=t % L, symbols=symbols, sym_sum=sym_sum,
+                         phase=phase, omega=omega, last_bits=last_bits)
+        return new_carry, Ragged(jnp.moveaxis(bits, 0, -1),
+                                 jnp.moveaxis(valid, 0, -1))

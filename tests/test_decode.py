@@ -1,0 +1,313 @@
+"""Digital decode stack tests: BCH(31,21), POCSAG, AX.25/APRS, Baudot,
+Varicode, bit-sync PLL, FSK detector, BPSK31 — end-to-end bit-exact checks
+(the fixtures the reference lacks; SURVEY.md section 4)."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libsdr_tpu import StreamSpec
+from libsdr_tpu.core import cplx
+from libsdr_tpu.core.ragged import compact
+from libsdr_tpu.decode import (AX25Decoder, BaudotDecoder, POCSAGDecoder,
+                               VaricodeDecoder, ax25_frame_bits,
+                               baudot_encode_bits, bch_encode, bch_repair,
+                               bch_syndrome, parse_aprs, pocsag_encode_batch,
+                               varicode_encode_bits)
+from libsdr_tpu.decode.bch import _error_table
+from libsdr_tpu.ops.bitsync import BitStream
+from libsdr_tpu.ops.fsk import ASKDetector, FSKDetector
+from libsdr_tpu.ops.psk31 import BPSK31
+
+
+# ------------------------------------------------------------------ BCH ----
+
+def test_bch_encode_valid():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        data = int(rng.integers(0, 1 << 21))
+        word = bch_encode(data)
+        assert bch_syndrome(word) == 0
+        assert (word >> 11) == data
+
+
+def test_bch_repairs_up_to_two_errors():
+    rng = np.random.default_rng(8)
+    for _ in range(30):
+        data = int(rng.integers(0, 1 << 21))
+        word = bch_encode(data)
+        # single-bit errors: all positions
+        for i in range(32):
+            st, fixed = bch_repair(word ^ (1 << i))
+            assert st == 0 and fixed == word, f"1-bit repair failed at {i}"
+        # a sample of 2-bit errors
+        for i, j in [(0, 31), (5, 17), (30, 31), (2, 3), (11, 21)]:
+            st, fixed = bch_repair(word ^ (1 << i) ^ (1 << j))
+            assert st == 0 and fixed == word, f"2-bit repair failed {i},{j}"
+
+
+def test_bch_error_syndromes_unique():
+    """All 1- and 2-bit error syndromes are distinct -> the table lookup is
+    exactly equivalent to the reference's brute force
+    (reference: src/bch31_21.cc:123-212)."""
+    seen = {}
+    for i in range(32):
+        s = bch_syndrome(1 << i)
+        assert s not in seen
+        seen[s] = (i,)
+    for i, j in itertools.combinations(range(32), 2):
+        s = bch_syndrome(1 << i) ^ bch_syndrome(1 << j)
+        assert s != 0 and s not in seen, (i, j)
+        seen[s] = (i, j)
+    assert len(_error_table()) == 32 + 496
+
+
+def test_bch_detects_unrepairable():
+    word = bch_encode(0x155555)
+    st, _ = bch_repair(word ^ 0b10101010101)  # >2 bit corruption
+    # Either repaired to *some* codeword or flagged; must not return the
+    # original broken word with st == 0 and nonzero syndrome.
+    if st == 0:
+        _, w = bch_repair(word ^ 0b10101010101)
+        assert bch_syndrome(w) == 0
+
+
+# --------------------------------------------------------------- POCSAG ----
+
+def test_pocsag_roundtrip_text():
+    bits = pocsag_encode_batch(address=0x12345, function=2, text="HELLO WORLD")
+    dec = POCSAGDecoder()
+    msgs = dec.process(bits)
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m.address == 0x12345
+    assert m.function == 2
+    assert m.as_text().startswith("HELLO WORLD")
+    # Faithful reference quirk: the numeric heuristic's +5/digit bonus for
+    # short messages (src/pocsag.cc:248-249) beats the text weight for an
+    # 11-char page, so the reference would print this one as numeric.
+    assert m.estimate_text() == 11
+    assert m.estimate_numeric() > m.estimate_text()
+
+
+def test_pocsag_bit_errors_repaired():
+    bits = pocsag_encode_batch(address=777, function=1, text="PAGE 42")
+    # Flip 2 bits in each 32-bit word region after the preamble+sync.
+    bad = bits.copy()
+    start = 600 + 32  # preamble rounded up to 600? locate sync: preamble=600
+    rng = np.random.default_rng(5)
+    for w in range(4):
+        base = 600 + 32 + 32 * w
+        for k in rng.choice(32, size=2, replace=False):
+            bad[base + k] ^= 1
+    msgs = POCSAGDecoder().process(bad)
+    assert len(msgs) == 1 and msgs[0].as_text().startswith("PAGE 42")
+
+
+def test_pocsag_multibatch_long_message():
+    text = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG 0123456789 " * 2
+    bits = pocsag_encode_batch(address=8, function=0, text=text)
+    msgs = POCSAGDecoder().process(bits)
+    assert len(msgs) == 1
+    assert msgs[0].as_text().startswith(text.rstrip())
+
+
+# ----------------------------------------------------------------- AX25 ----
+
+def test_ax25_roundtrip():
+    info = b"!4903.50N/07201.75W-Test 001234"
+    payload = bytes([0x03, 0xF0]) + info
+    bits = ax25_frame_bits("N0CALL", "APRS", info, via=["WIDE1"])
+    dec = AX25Decoder()
+    msgs = dec.process(bits)
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m.frm.call == "N0CALL" and m.to.call == "APRS"
+    assert [v.call for v in m.via] == ["WIDE1"]
+    assert m.payload == payload
+
+
+def test_ax25_rejects_corrupt_crc():
+    bits = ax25_frame_bits("AB1CDE", "CQ", b"hello")
+    bits[40] ^= 1  # corrupt one payload bit
+    assert POCSAGDecoder  # silence lint
+    assert AX25Decoder().process(bits) == []
+
+
+def test_ax25_stuffing_roundtrip():
+    # 0xFF bytes force bit stuffing
+    info = bytes([0xFF] * 8) + b"end"
+    payload = bytes([0x03, 0xF0]) + info
+    bits = ax25_frame_bits("XX9XX", "YY8YY", info)
+    msgs = AX25Decoder().process(bits)
+    assert len(msgs) == 1 and msgs[0].payload == payload
+
+
+# ----------------------------------------------------------------- APRS ----
+
+def test_aprs_position_parse():
+    bits = ax25_frame_bits("N0CALL", "APRS", b"!4903.50N/07201.75W-Test comment")
+    m = AX25Decoder().process(bits)[0]
+    a = parse_aprs(m)
+    assert a is not None and a.has_location
+    assert abs(a.latitude - (49 + 3.50 / 60)) < 1e-6
+    assert abs(a.longitude - (-(72 + 1.75 / 60))) < 1e-6
+    assert a.symbol == "HOUSE"
+    assert a.comment == "Test comment"
+
+
+def test_aprs_timestamped():
+    bits = ax25_frame_bits("N0CALL", "APRS", b"@092345z4903.50N/07201.75W>comment")
+    m = AX25Decoder().process(bits)[0]
+    a = parse_aprs(m)
+    assert a.has_time and a.time.day == 9 and a.time.hour == 23
+    assert a.has_location and a.symbol == "CAR"
+
+
+def test_aprs_rejects_non_ui():
+    bits = ax25_frame_bits("N0CALL", "APRS", b"!4903.50N/07201.75W-", ctrl=0x13)
+    m = AX25Decoder().process(bits)[0]
+    assert parse_aprs(m) is None
+
+
+# --------------------------------------------------------------- Baudot ----
+
+def test_baudot_roundtrip():
+    for stop in ("1", "1.5", "2"):
+        hb = baudot_encode_bits("HELLO 123 WORLD", stop_bits=stop)
+        dec = BaudotDecoder(stop_bits=stop)
+        out = dec.process(hb)
+        assert out == "HELLO 123 WORLD", (stop, out)
+
+
+# ------------------------------------------------------------- Varicode ----
+
+def test_varicode_roundtrip():
+    text = "Hello PSK31 World 73!"
+    bits = varicode_encode_bits(text)
+    assert VaricodeDecoder().process(bits) == text
+
+
+# ------------------------------------------------------- BitStream PLL -----
+
+def _upsample_bits(bits, spb, jitter=0.0, rng=None):
+    """NRZ upsample bit vector to symbols at spb samples/bit."""
+    n = int(round(len(bits) * spb))
+    t = np.arange(n) / spb
+    if jitter and rng is not None:
+        t = t + rng.normal(0, jitter, n) / spb
+    idx = np.clip(t.astype(np.int64), 0, len(bits) - 1)
+    return np.asarray(bits)[idx].astype(np.uint8)
+
+
+def _run_ragged(proc, spec, x):
+    proc.bind(spec)
+    carry = proc.init_carry()
+    outs_d, outs_v = [], []
+    bs = spec.block_size
+    for i in range(x.shape[-1] // bs):
+        carry, y = proc.apply(carry, cplx.as_block(x[..., i * bs:(i + 1) * bs]))
+        outs_d.append(np.asarray(y.data))
+        outs_v.append(np.asarray(y.valid))
+    from libsdr_tpu.core.ragged import Ragged
+    return Ragged(np.concatenate(outs_d, -1), np.concatenate(outs_v, -1))
+
+
+def test_bitstream_normal_mode(rng):
+    fs, baud = 22050, 1200
+    payload = rng.integers(0, 2, 300).astype(np.uint8)
+    bits_tx = np.concatenate([np.array([1, 0] * 20, np.uint8), payload])
+    sym = _upsample_bits(bits_tx, fs / baud)
+    pad = (-len(sym)) % 512
+    sym = np.concatenate([sym, np.zeros(pad, np.uint8)])
+    bs = BitStream(baud, mode="normal")
+    spec = StreamSpec(jnp.uint8, fs, 512)
+    out = _run_ragged(bs, spec, sym)
+    got = compact(out)
+    s = "".join(map(str, got))
+    want = "".join(map(str, payload))
+    assert want in s, "payload bits not recovered by PLL"
+
+
+def test_bitstream_transition_mode(rng):
+    fs, baud = 22050, 1200
+    payload = rng.integers(0, 2, 200).astype(np.uint8)
+    # NRZI encode: transition -> 0, none -> 1
+    line = [0]
+    for b in payload:
+        line.append(line[-1] if b else 1 - line[-1])
+    line = np.asarray(line[1:], np.uint8)
+    bits_tx = np.concatenate([np.array([1, 0] * 20, np.uint8), line])
+    sym = _upsample_bits(bits_tx, fs / baud)
+    pad = (-len(sym)) % 512
+    sym = np.concatenate([sym, np.zeros(pad, np.uint8)])
+    bs = BitStream(baud, mode="transition")
+    out = _run_ragged(bs, StreamSpec(jnp.uint8, fs, 512), sym)
+    got = "".join(map(str, compact(out)))
+    want = "".join(map(str, payload))
+    assert want in got
+
+
+# --------------------------------------------------------- FSKDetector -----
+
+def test_fsk_detector_and_bitstream(rng):
+    """Full RTTY-style front end: FSK tones -> symbols -> PLL -> bits."""
+    from libsdr_tpu.ops import siggen
+    fs, baud = 12000, 300
+    f_mark, f_space = 1200.0, 2200.0
+    payload = rng.integers(0, 2, 120).astype(np.uint8)
+    bits_tx = np.concatenate([np.ones(8, np.uint8), payload])
+    audio = siggen.fsk_modulate(fs, bits_tx, baud, f_mark, f_space).real
+    audio = audio.astype(np.float32)
+    pad = (-len(audio)) % 600
+    audio = np.concatenate([audio, np.zeros(pad, np.float32)])
+
+    det = FSKDetector(baud, f_mark, f_space)
+    spec = StreamSpec(jnp.float32, fs, 600)
+    det.bind(spec)
+    carry = det.init_carry()
+    syms = []
+    for i in range(len(audio) // 600):
+        carry, y = det.apply(carry, jnp.asarray(audio[i * 600:(i + 1) * 600]))
+        syms.append(np.asarray(y))
+    syms = np.concatenate(syms)
+
+    bs = BitStream(baud, mode="normal")
+    out = _run_ragged(bs, det.out_spec, syms)
+    got = "".join(map(str, compact(out)))
+    # The first ~10 bits fall in the correlator-fill + PLL-acquisition
+    # transient (the reference behaves the same; real links carry a longer
+    # preamble).  After acquisition the stream must be recovered exactly.
+    want = "".join(map(str, payload[12:]))
+    assert want in got
+
+
+# -------------------------------------------------------------- BPSK31 -----
+
+def test_bpsk31_decodes_varicode():
+    text = "cq cq de test"
+    bits = varicode_encode_bits(text)
+    bits = np.concatenate([np.ones(16, np.uint8), bits,
+                           np.ones(16, np.uint8)])
+    # Synthesize BPSK31: 2000 Hz, 64 samples/symbol, phase flip on bit 0.
+    fs, spb = 2000, 64
+    phases = np.zeros(len(bits))
+    ph = 0.0
+    for k, b in enumerate(bits):
+        if b == 0:
+            ph += np.pi
+        phases[k] = ph
+    sig = np.exp(1j * np.repeat(phases, spb)).astype(np.complex64)
+    # Smooth transitions slightly (raised-cosine-ish) to help the PLL.
+    pad = (-len(sig)) % 1000
+    sig = np.concatenate([sig, np.ones(pad, np.complex64)])
+
+    demod = BPSK31()
+    spec = StreamSpec(jnp.complex64, fs, 1000)
+    out = _run_ragged(demod, spec, sig)
+    got_bits = compact(out)
+    dec = VaricodeDecoder()
+    decoded = dec.process(got_bits)
+    assert text in decoded, f"decoded: {decoded!r}"
