@@ -1,0 +1,120 @@
+"""APRS web service (reference: cmd/ APRSApplication + src/http.{hh,cc}).
+
+The reference ships a tiny threaded HTTP/1.1 server with JSON handlers
+(reference: src/http.cc:141-210) used by its APRS map app
+(cmd/aprsapplication.cc:10-60: static page, /spots JSON, /update push).
+Python's stdlib ThreadingHTTPServer provides the same thread-per-connection
+model, so the service here is the decoded-spot store + JSON endpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List
+
+from libsdr_tpu.decode.aprs import APRSDecoder, APRSMessage
+
+_PAGE = b"""<!doctype html><html><head><title>libsdr_tpu APRS</title></head>
+<body><h1>APRS spots</h1><p>GET <a href="/spots">/spots</a> for JSON.</p>
+</body></html>"""
+
+
+class APRSStore:
+    """Thread-safe store of decoded spots
+    (reference: cmd/aprsapplication.cc:24-40)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._spots: List[dict] = []
+
+    def add(self, msg: APRSMessage) -> None:
+        spot = {
+            "from": str(msg.ax25.frm),
+            "to": str(msg.ax25.to),
+            "via": [str(v) for v in msg.ax25.via],
+            "comment": msg.comment,
+        }
+        if msg.has_location:
+            spot.update(latitude=msg.latitude, longitude=msg.longitude,
+                        symbol=msg.symbol)
+        if msg.has_time and msg.time is not None:
+            spot["time"] = msg.time.isoformat()
+        with self._lock:
+            self._spots.append(spot)
+
+    def spots(self) -> List[dict]:
+        with self._lock:
+            return list(self._spots)
+
+
+def make_handler(store: APRSStore):
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/spots":
+                body = json.dumps(store.spots()).encode()
+                ctype = "application/json"
+            elif self.path == "/":
+                body, ctype = _PAGE, "text/html"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(store: APRSStore, port: int = 8080) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(store))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd
+
+
+def main(argv=None):
+    import numpy as np
+
+    from libsdr_tpu.apps.chains import afsk_front_end, run_bit_chain
+    from libsdr_tpu.utils.options import (add_source_args, common_parser,
+                                          load_source)
+
+    p = common_parser("APRS web service (reference: cmd/)")
+    add_source_args(p)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--oneshot", action="store_true",
+                   help="decode the file, print spots JSON, exit")
+    args = p.parse_args(argv)
+
+    audio, fs = load_source(args)
+    if np.iscomplexobj(audio):
+        raise SystemExit("aprs_service expects demodulated AFSK audio")
+    store = APRSStore()
+    fe = afsk_front_end(fs, args.block_size)
+    bits = run_bit_chain(fe, audio.astype(np.float32))
+    dec = APRSDecoder()
+    dec.process(bits)
+    for m in dec.aprs_messages:
+        store.add(m)
+    if args.oneshot:
+        print(json.dumps(store.spots(), indent=2))
+        return store
+    httpd = serve(store, args.port)
+    print(f"serving {len(store.spots())} spots on :{args.port} "
+          "(GET /spots); Ctrl-C to stop")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+    return store
+
+
+if __name__ == "__main__":
+    main()

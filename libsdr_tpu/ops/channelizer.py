@@ -1,0 +1,111 @@
+"""Polyphase filterbank channelizer — the flagship wideband op.
+
+Generalizes the reference's FilterNode (src/filternode.hh:231-283, its
+closest thing to a channelizer — N retunable overlap-add bands) to the
+standard maximally-decimated uniform PFB: one wideband complex stream in,
+M critically-sampled channel streams out, each at fs/M, centered at
+ch * fs / M.
+
+TPU mapping: the input is framed into (n_frames, M) by the commutator; the
+polyphase branch filters are a (P, M) tap matrix applied over P consecutive
+frames (an elementwise multiply-accumulate the XLA compiler vectorizes), and
+the channel synthesis is an M-point IFFT across branches — which is the
+planar matmul FFT of :mod:`libsdr_tpu.ops.fft`, i.e. one MXU matmul per
+block.  Everything batches over leading channel dims.
+
+Polyphase identity used (channel c = decimate(h * (x e^{-2i pi c n/M}))):
+
+    u_p[t]  = sum_k h[kM + p] * x[(t-k)M - p]      (reverse commutator!)
+    y_c[t]  = sum_p u_p[t] * exp(+2i pi p c / M)   (= M * IFFT over p)
+
+so channel c contains the band around +c*fs/M shifted to DC (negative
+bands appear at index M-c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from libsdr_tpu.core import cplx
+from libsdr_tpu.core.block import Processor
+from libsdr_tpu.core.cplx import Complex
+from libsdr_tpu.core.stream import ConfigError, StreamSpec
+from libsdr_tpu.ops import firdesign
+from libsdr_tpu.ops.fft import fft
+
+
+def prototype_lowpass(n_channels: int, taps_per_branch: int,
+                      cutoff_scale: float = 1.0) -> np.ndarray:
+    """Prototype low-pass for an M-channel PFB: length M*P windowed sinc with
+    cutoff fs/(2M), unity DC gain."""
+    m, p = n_channels, taps_per_branch
+    n = m * p
+    # cutoff at (fs/2)/M scaled; firdesign.lowpass expects Hz with fs=1.
+    return firdesign.lowpass(n, cutoff_scale * 0.5 / m, 1.0)
+
+
+class Channelizer(Processor):
+    """Maximally-decimated uniform polyphase channelizer.
+
+    Args:
+      n_channels: number of uniform channels M (output rate = fs/M).
+      taps_per_branch: polyphase taps P per branch (prototype length M*P).
+      prototype: optional custom prototype filter (length M*P).
+
+    Input (..., B) complex, B % M == 0; output (..., M, B/M) complex —
+    channel c at center frequency c*fs/M (negative bands at M-c).
+    """
+
+    def __init__(self, n_channels: int, taps_per_branch: int = 8,
+                 prototype: np.ndarray = None):
+        super().__init__()
+        self.m = int(n_channels)
+        self.p = int(taps_per_branch)
+        self._proto = prototype
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        in_spec.require_complex("Channelizer")
+        m, p = self.m, self.p
+        in_spec.require_block_multiple("Channelizer", m)
+        proto = (np.asarray(self._proto) if self._proto is not None
+                 else prototype_lowpass(m, p))
+        if len(proto) != m * p:
+            raise ConfigError(
+                f"Channelizer: prototype length {len(proto)} != M*P = {m * p}")
+        # h[k*M + p] -> taps[k, p]; unity-DC prototype + unscaled forward DFT
+        # synthesis gives unity channel passband gain.
+        self._taps = jnp.asarray(proto.reshape(p, m).astype(np.float32))
+        return in_spec.with_(
+            channels=in_spec.channels + (m,),
+            sample_rate=in_spec.sample_rate / m,
+            block_size=in_spec.block_size // m)
+
+    def init_carry(self):
+        # P previous raw frames (the reverse commutator needs one frame of
+        # look-back on top of the P-1 filter history).
+        shape = self.in_spec.channels + (self.p, self.m)
+        return cplx.zeros(shape, self.in_spec.real_dtype)
+
+    def apply(self, carry, x):
+        m, p = self.m, self.p
+        lead = x.shape[:-1]
+        t = x.shape[-1] // m
+        frames = x.reshape(lead + (t, m))                   # raw frame t
+        histf = cplx.concatenate([carry, frames], axis=-2)  # (.., t+P, M)
+        # Reverse-commutator frames: fr[s, 0] = histf[s+1, 0];
+        # fr[s, q>=1] = histf[s, M-q]  (i.e. x[sM - q] with s offset by P-1).
+        col0 = histf[..., 1:, :1]
+        rest = histf[..., :-1, :0:-1]                       # cols M-1..1
+        fr = cplx.concatenate([col0, rest], axis=-1)        # (.., t+P-1, M)
+        # u[t, q] = sum_k taps[k, q] * fr[t + P-1 - k, q]
+        acc = None
+        for k in range(p):
+            seg = fr[..., (p - 1 - k):(p - 1 - k) + t, :]
+            term = seg * self._taps[k]
+            acc = term if acc is None else acc + term
+        # Channel synthesis: y_c = sum_q u_q e^{+2i pi q c/M} = M * IFFT_q(u).
+        y = fft(acc, inverse=True) * m                      # (..., t, M)
+        y = y.map(lambda a: jnp.swapaxes(a, -1, -2))        # (..., M, t)
+        new_carry = histf[..., histf.shape[-2] - p:, :]
+        return new_carry, y

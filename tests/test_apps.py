@@ -1,0 +1,157 @@
+"""End-to-end application tests: each reference example chain, driven from a
+synthesized fixture through the real CLI entry points
+(reference: examples/*.cc, cmd/)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from libsdr_tpu.decode import (ax25_frame_bits, baudot_encode_bits,
+                               pocsag_encode_batch)
+from libsdr_tpu.io import read_wav, write_wav, write_wav_iq
+from libsdr_tpu.ops import siggen
+
+
+def _nrzi(bits):
+    """NRZI encode: bit 0 -> transition, bit 1 -> hold (AX.25 convention,
+    reference: src/fsk.hh:127-131 TRANSITION mode)."""
+    line, cur = [], 0
+    for b in np.asarray(bits):
+        if b == 0:
+            cur ^= 1
+        line.append(cur)
+    return np.asarray(line, np.uint8)
+
+
+def test_fm_rx_cli(tmp_path):
+    from libsdr_tpu.apps import fm_rx
+    fs = 480_000
+    audio = siggen.sine(fs, fs, 1000.0, amps=0.7)
+    iq = siggen.fm_modulate(fs, audio, deviation=75e3, carrier=60e3)
+    cap = tmp_path / "cap.wav"
+    out = tmp_path / "audio.wav"
+    write_wav_iq(str(cap), iq, fs)
+    fm_rx.main(["--file", str(cap), "-F", "60000", "-o", str(out),
+                "--block-size", "48000"])
+    got, rate = read_wav(str(out))
+    assert rate == 48000
+    seg = got[4800:-4800].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / rate)
+    assert abs(freqs[np.argmax(spec)] - 1000.0) < 5
+
+
+@pytest.mark.parametrize("mode,tone", [("AM", 800.0), ("USB", 700.0)])
+def test_rx_cli_modes(tmp_path, mode, tone):
+    from libsdr_tpu.apps import rx
+    fs = 96_000
+    n = 4 * fs
+    if mode == "AM":
+        audio = siggen.sine(fs, n, tone, amps=0.5)
+        base = (1.0 + audio) * siggen.iq_carrier(fs, n, 5000.0)
+    else:  # USB: single tone appears at carrier + tone
+        base = siggen.iq_carrier(fs, n, 5000.0 + tone)
+    cap = tmp_path / "cap.wav"
+    out = tmp_path / "audio.wav"
+    write_wav_iq(str(cap), 0.5 * base, fs)
+    rx.main(["--file", str(cap), "-m", mode, "-F", "5000",
+             "-o", str(out), "--block-size", "24000"])
+    got, rate = read_wav(str(out))
+    seg = got[rate // 2:-rate // 2].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / rate)
+    spec[freqs < 100] = 0  # AM keeps its DC envelope term; skip it
+    assert abs(freqs[np.argmax(spec)] - tone) < 10, mode
+
+
+def test_wavplay_cli(tmp_path):
+    from libsdr_tpu.apps import wavplay
+    fs = 8000
+    audio = siggen.sine(fs, fs, 440.0, amps=0.5)
+    src = tmp_path / "in.wav"
+    dst = tmp_path / "out.wav"
+    write_wav(str(src), audio, fs)
+    wavplay.main([str(src), "-o", str(dst), "--gain", "0.5",
+                  "--block-size", "1000"])
+    got, rate = read_wav(str(dst))
+    assert rate == fs
+    np.testing.assert_allclose(got[:fs], 0.5 * audio, atol=2e-3)
+
+
+def _pocsag_iq(fs, text="TPU PAGER", address=4242):
+    bits = pocsag_encode_batch(address=address, function=1, text=text)
+    spb = fs / 1200.0
+    n = int(len(bits) * spb)
+    idx = np.minimum((np.arange(n) / spb).astype(np.int64), len(bits) - 1)
+    dev = np.where(bits[idx] > 0, -4500.0, 4500.0)
+    ph = 2 * np.pi * np.cumsum(dev) / fs
+    return np.exp(1j * ph).astype(np.complex64)
+
+
+def test_pocsag_rx_cli(tmp_path):
+    from libsdr_tpu.apps import pocsag_rx
+    fs = 240_000
+    iq = _pocsag_iq(fs)
+    cap = tmp_path / "pocsag.wav"
+    write_wav_iq(str(cap), 0.9 * iq, fs)
+    msgs = pocsag_rx.main(["--file", str(cap), "--block-size", "24000"])
+    assert msgs and msgs[0].address == 4242
+    assert msgs[0].as_text().startswith("TPU PAGER")
+
+
+def test_ax25_rx_cli(tmp_path):
+    from libsdr_tpu.apps import ax25_rx
+    fs = 24_000
+    frame_bits = ax25_frame_bits(
+        "N0CALL", "APRS", b"!4903.50N/07201.75W-TPU", n_flags=50)
+    line = _nrzi(frame_bits)
+    # 0.17% TX clock offset: a perfectly synchronous synthetic signal parks
+    # the reference PLL at its metastable point (transitions exactly at the
+    # sampling instants); real transmitters always have crystal offset.
+    audio = siggen.fsk_modulate(fs, line, 1202.0, 1200.0, 2200.0).real
+    audio = np.concatenate([audio, np.zeros(4000, np.float32)])
+    cap = tmp_path / "afsk.wav"
+    write_wav(str(cap), 0.8 * audio.astype(np.float32), fs)
+    dec = ax25_rx.main(["--file", str(cap), "--audio",
+                        "--block-size", "12000"])
+    assert dec.messages, "no AX.25 frame decoded"
+    assert dec.aprs_messages and dec.aprs_messages[0].has_location
+
+
+def test_rtty_rx_cli(tmp_path, capsys):
+    from libsdr_tpu.apps import rtty_rx
+    fs = 8000
+    text = "RYRY HELLO RTTY"
+    half_bits = baudot_encode_bits(text, stop_bits="1.5")
+    audio = siggen.fsk_modulate(fs, half_bits, 2 * 45.45, 930.0, 1100.0).real
+    audio = np.concatenate([audio, np.zeros(2000, np.float32)])
+    cap = tmp_path / "rtty.wav"
+    write_wav(str(cap), 0.8 * audio.astype(np.float32), fs)
+    got = rtty_rx.main(["--file", str(cap), "--block-size", "8000"])
+    assert "HELLO RTTY" in got
+
+
+def test_aprs_service(tmp_path):
+    from libsdr_tpu.apps import aprs_service
+    fs = 24_000
+    frame_bits = ax25_frame_bits(
+        "N0CALL", "APRS", b"=5230.10N/01323.60E-Berlin", n_flags=50)
+    audio = siggen.fsk_modulate(fs, _nrzi(frame_bits), 1202.0,
+                                1200.0, 2200.0).real
+    audio = np.concatenate([audio, np.zeros(4000, np.float32)])
+    cap = tmp_path / "aprs.wav"
+    write_wav(str(cap), 0.8 * audio.astype(np.float32), fs)
+    store = aprs_service.main(["--file", str(cap), "--oneshot",
+                               "--block-size", "12000"])
+    spots = store.spots()
+    assert spots and abs(spots[0]["latitude"] - (52 + 30.10 / 60)) < 1e-4
+
+    # And the HTTP surface (reference: src/http.cc, cmd/):
+    httpd = aprs_service.serve(store, port=0)
+    port = httpd.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/spots") as r:
+        data = json.loads(r.read())
+    httpd.shutdown()
+    assert data == spots
