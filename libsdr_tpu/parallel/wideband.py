@@ -1,0 +1,117 @@
+"""Multi-chip wideband receiver: time-sharded channelizer + channel-sharded
+demod bank — the flagship scale-out pipeline (BASELINE.json config 5).
+
+Stage layout over an n-device 1-D mesh ('d',):
+
+1. **Channelize, time-sharded**: the wideband block (B,) is split along
+   time; each device runs the polyphase channelizer on its B/n segment, with
+   the P-frame filter history exchanged as a ppermute halo (the distributed
+   form of the channelizer carry).
+2. **Reshard**: one all_to_all turns (M channels, t/n local time) into
+   (M/n local channels, t full time) — channels ride the ICI once.
+3. **Demodulate, channel-sharded**: each device FM-demodulates its M/n
+   channels over the full block; per-channel demod state (prev sample)
+   stays device-local.
+
+This is the moral equivalent of sequence parallelism (stage 1) feeding data
+parallelism (stage 3) with a single collective between them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from libsdr_tpu.core import cplx
+from libsdr_tpu.core.cplx import Complex
+from libsdr_tpu.ops.channelizer import prototype_lowpass
+from libsdr_tpu.ops.fft import fft
+from libsdr_tpu.parallel.halo import _tree_where, last_shard_tail, pass_right
+
+
+def channelize_segment(x_local: Complex, hist: Complex, taps: jnp.ndarray,
+                       m: int, p: int) -> Complex:
+    """Channelizer body on a time segment given the P-frame history (same
+    math as ops/channelizer.py Channelizer.apply)."""
+    lead = x_local.shape[:-1]
+    t = x_local.shape[-1] // m
+    frames = x_local.reshape(lead + (t, m))
+    histf = cplx.concatenate([hist, frames], axis=-2)
+    col0 = histf[..., 1:, :1]
+    rest = histf[..., :-1, :0:-1]
+    fr = cplx.concatenate([col0, rest], axis=-1)
+    acc = None
+    for k in range(p):
+        seg = fr[..., (p - 1 - k):(p - 1 - k) + t, :]
+        term = seg * taps[k]
+        acc = term if acc is None else acc + term
+    y = fft(acc, inverse=True) * m
+    return y.map(lambda a: jnp.swapaxes(a, -1, -2))  # (..., M, t)
+
+
+def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
+                        taps_per_branch: int = 8, axis: str = "d"):
+    """Build (step, init_carry, place_input) for the sharded wideband RX.
+
+    ``step(carry, x)`` consumes a global (B,) complex block and returns the
+    FM-demodulated (M, B/M) float32 channel bank, jit-compiled over the mesh
+    with shard_map.
+    """
+    n = int(mesh.devices.size)
+    m, p = n_channels, taps_per_branch
+    if block % (m * n):
+        raise ValueError("block must divide by M * n_devices")
+    if m % n:
+        raise ValueError("channels must divide by n_devices")
+    proto = prototype_lowpass(m, p)
+    taps = jnp.asarray(proto.reshape(p, m).astype(np.float32))
+
+    def step_local(carry, x_local):
+        hist_global, prev_local = carry
+        idx = jax.lax.axis_index(axis)
+        # --- stage 1: time-sharded channelizer with frame halo ------------
+        t_seg = x_local.shape[-1] // m
+        frames_local = x_local.reshape((t_seg, m))
+        tail_frames = frames_local[t_seg - p:, :]
+        halo = pass_right(tail_frames, axis)
+        hist = _tree_where(idx == 0, hist_global, halo)
+        y = channelize_segment(x_local, hist, taps, m, p)   # (M, t_seg)
+        new_hist = last_shard_tail(tail_frames, axis)
+        # --- stage 2: reshard channels <-> time (one all_to_all) ----------
+        def a2a(a):
+            return jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1,
+                                      tiled=True)
+        yc = y.map(a2a)                                     # (M/n, t_full)
+        # --- stage 3: channel-sharded FM demod -----------------------------
+        shifted = cplx.concatenate([prev_local[..., None], yc[..., :-1]],
+                                   axis=-1)
+        audio = (yc * shifted.conj()).angle()
+        new_prev = yc[..., -1]
+        return (new_hist, prev_struct(new_prev)), audio
+
+    def prev_struct(x):
+        return x
+
+    step_sharded = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=((P(), P(axis)), P(axis)),
+        out_specs=((P(), P(axis)), P(axis, None)),
+        check_vma=False,
+    )
+    step = jax.jit(step_sharded)
+
+    def init_carry():
+        hist = jax.device_put(cplx.zeros((p, m)),
+                              NamedSharding(mesh, P()))
+        prev = jax.device_put(cplx.full_like_phasor((m,)),
+                              NamedSharding(mesh, P(axis)))
+        return (hist, prev)
+
+    def place_input(x):
+        xb = cplx.as_block(x)
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), xb)
+
+    return step, init_carry, place_input
