@@ -81,6 +81,34 @@ class Pipeline(Processor):
         return "\n".join(lines)
 
 
+class Combine(Processor):
+    """N-input join: stack equal-spec branch outputs (e.g. from a preceding
+    :class:`Tee`) onto a new leading channel axis — the analog of
+    ``sdr::Combine``/``CombineSink`` which unifies N inputs of matching
+    type/rate (reference: src/combine.hh:16-227; its per-input ring buffers
+    vanish here because a fused pipeline is lockstep by construction)."""
+
+    def __init__(self, n: int):
+        super().__init__()
+        self.n = int(n)
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        # in_spec is the (common) spec of each branch.
+        return in_spec.with_(channels=(self.n,) + in_spec.channels)
+
+    def apply(self, carry, xs):
+        from libsdr_tpu.core import cplx
+        if len(xs) != self.n:
+            raise ValueError(f"Combine: expected {self.n} inputs, got {len(xs)}")
+        if cplx.is_complex(xs[0]):
+            import jax.numpy as jnp
+            from libsdr_tpu.core.cplx import Complex
+            return carry, Complex(jnp.stack([x.re for x in xs]),
+                                  jnp.stack([x.im for x in xs]))
+        import jax.numpy as jnp
+        return carry, jnp.stack(xs)
+
+
 class Tee(Processor):
     """Fan-out: feed one input to N branch processors, return a tuple of their
     outputs (the analog of ``Source::send`` to multiple connected sinks,

@@ -1,0 +1,51 @@
+"""Streaming ingest: blocks from a capture file through the native ring
+buffer + pump thread (the host-side analog of the reference's Queue-fed
+sources; reference: src/queue.cc, src/rtlsource.cc)."""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+
+from libsdr_tpu.native import FilePump, RingBuffer, u8_iq_to_planar, \
+    s16_iq_to_planar
+
+
+def stream_raw_iq(path: str, block_size: int, dtype=np.uint8,
+                  ring_bytes: int = 1 << 24) -> Iterator[np.ndarray]:
+    """Yield complex64 IQ blocks from a raw interleaved capture file, with a
+    native ingest thread double-buffering the reads (rtl_sdr wire format by
+    default, reference: src/rtlsource.cc:141-145).
+
+    The final partial block is zero-padded.
+    """
+    itemsize = np.dtype(dtype).itemsize
+    bytes_per_block = block_size * 2 * itemsize
+    ring = RingBuffer(max(ring_bytes, 4 * bytes_per_block))
+    pump = FilePump(path, ring)
+    convert = u8_iq_to_planar if np.dtype(dtype) == np.uint8 else s16_iq_to_planar
+    try:
+        while True:
+            raw = ring.take(bytes_per_block)
+            if raw is None:
+                if ring.eos:
+                    n = ring.available
+                    if n == 0:
+                        break
+                    raw = ring.take((n // (2 * itemsize)) * 2 * itemsize)
+                    if raw is None or len(raw) == 0:
+                        break
+                    re, im = convert(raw.view(dtype))
+                    blk = np.zeros(block_size, np.complex64)
+                    blk[:len(re)] = re + 1j * im
+                    yield blk
+                    break
+                time.sleep(0.0005)
+                continue
+            re, im = convert(raw.view(dtype))
+            yield (re + 1j * im).astype(np.complex64)
+    finally:
+        pump.stop()
+        ring.close()

@@ -1,0 +1,185 @@
+// Native host runtime for libsdr_tpu.
+//
+// The reference's runtime core is C++: a mutex+condvar message queue driving
+// one worker thread (reference: src/queue.cc), refcounted buffer pools and
+// ring buffers (reference: src/buffer.hh), and per-source ingest threads
+// (reference: src/node.cc:154-176 BlockingSource, src/rtlsource.cc:133-145).
+// On a TPU host the device does the DSP, so the native layer's job is the
+// *feed path*: lock-free SPSC block framing between an ingest thread and the
+// Python driver, and branch-free wire-format -> planar-float conversion
+// (u8/s16 interleaved IQ -> separate re/im float32 planes, the layout the
+// TPU pipeline consumes).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Sample-format converters (the AutoCast analog, reference: src/autocast.hh)
+// ---------------------------------------------------------------------------
+
+// rtl_sdr wire format: interleaved unsigned bytes, zero at 127.5.
+void u8_iq_to_planar_f32(const uint8_t *src, int64_t n_pairs,
+                         float *re, float *im) {
+  const float scale = 1.0f / 128.0f;
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    re[i] = ((float)src[2 * i] - 128.0f) * scale;
+    im[i] = ((float)src[2 * i + 1] - 128.0f) * scale;
+  }
+}
+
+void s16_iq_to_planar_f32(const int16_t *src, int64_t n_pairs,
+                          float *re, float *im) {
+  const float scale = 1.0f / 32768.0f;
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    re[i] = (float)src[2 * i] * scale;
+    im[i] = (float)src[2 * i + 1] * scale;
+  }
+}
+
+void s16_to_f32(const int16_t *src, int64_t n, float *dst) {
+  const float scale = 1.0f / 32768.0f;
+  for (int64_t i = 0; i < n; ++i) dst[i] = (float)src[i] * scale;
+}
+
+void f32_planar_to_s16_interleaved(const float *re, const float *im,
+                                   int64_t n_pairs, int16_t *dst) {
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    float r = re[i] * 32767.0f, q = im[i] * 32767.0f;
+    if (r > 32767.f) r = 32767.f;
+    if (r < -32768.f) r = -32768.f;
+    if (q > 32767.f) q = 32767.f;
+    if (q < -32768.f) q = -32768.f;
+    dst[2 * i] = (int16_t)r;
+    dst[2 * i + 1] = (int16_t)q;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Lock-free SPSC byte ring (reference: src/buffer.hh:356-541 RawRingBuffer,
+// made thread-safe; the reference's refcount is a bare int and relies on the
+// single queue thread — here acquire/release atomics carry the handoff).
+// ---------------------------------------------------------------------------
+
+struct Ring {
+  uint8_t *data;
+  int64_t capacity;                 // bytes, power-of-two not required
+  std::atomic<int64_t> head;        // write position (producer)
+  std::atomic<int64_t> tail;        // read position (consumer)
+  std::atomic<int> eos;             // producer signaled end-of-stream
+};
+
+Ring *ring_create(int64_t capacity) {
+  Ring *r = new Ring();
+  r->data = (uint8_t *)malloc(capacity);
+  r->capacity = capacity;
+  r->head.store(0);
+  r->tail.store(0);
+  r->eos.store(0);
+  return r;
+}
+
+void ring_destroy(Ring *r) {
+  if (!r) return;
+  free(r->data);
+  delete r;
+}
+
+int64_t ring_available(Ring *r) {  // bytes readable
+  return r->head.load(std::memory_order_acquire) -
+         r->tail.load(std::memory_order_relaxed);
+}
+
+int64_t ring_space(Ring *r) {  // bytes writable
+  return r->capacity - (r->head.load(std::memory_order_relaxed) -
+                        r->tail.load(std::memory_order_acquire));
+}
+
+// Producer: copy n bytes in (returns n, or 0 if not enough space).
+int64_t ring_put(Ring *r, const uint8_t *src, int64_t n) {
+  if (ring_space(r) < n) return 0;
+  int64_t head = r->head.load(std::memory_order_relaxed);
+  int64_t pos = head % r->capacity;
+  int64_t first = (pos + n <= r->capacity) ? n : (r->capacity - pos);
+  memcpy(r->data + pos, src, first);
+  if (first < n) memcpy(r->data, src + first, n - first);
+  r->head.store(head + n, std::memory_order_release);
+  return n;
+}
+
+// Consumer: copy exactly n bytes out (returns n, or 0 if not enough data).
+int64_t ring_take(Ring *r, uint8_t *dst, int64_t n) {
+  if (ring_available(r) < n) return 0;
+  int64_t tail = r->tail.load(std::memory_order_relaxed);
+  int64_t pos = tail % r->capacity;
+  int64_t first = (pos + n <= r->capacity) ? n : (r->capacity - pos);
+  memcpy(dst, r->data + pos, first);
+  if (first < n) memcpy(dst + first, r->data, n - first);
+  r->tail.store(tail + n, std::memory_order_release);
+  return n;
+}
+
+int ring_eos(Ring *r) { return r->eos.load(std::memory_order_acquire); }
+void ring_set_eos(Ring *r) { r->eos.store(1, std::memory_order_release); }
+
+// ---------------------------------------------------------------------------
+// File pump: ingest thread streaming a capture file into a ring — the
+// analog of BlockingSource's per-source thread (reference: src/node.cc:154-176)
+// and RTLSource's driver thread (reference: src/rtlsource.cc:133-145).
+// ---------------------------------------------------------------------------
+
+struct Pump {
+  Ring *ring;
+  FILE *f;
+  int64_t chunk;
+  std::atomic<int> stop;
+  std::thread thread;
+};
+
+static void pump_main(Pump *p) {
+  uint8_t *buf = (uint8_t *)malloc(p->chunk);
+  while (!p->stop.load(std::memory_order_relaxed)) {
+    size_t got = fread(buf, 1, (size_t)p->chunk, p->f);
+    if (got == 0) break;  // EOF
+    int64_t off = 0;
+    while (off < (int64_t)got && !p->stop.load(std::memory_order_relaxed)) {
+      int64_t put = ring_put(p->ring, buf + off, (int64_t)got - off);
+      if (put == 0) {
+        std::this_thread::yield();  // backpressure: ring full
+      } else {
+        off += put;
+      }
+    }
+  }
+  ring_set_eos(p->ring);
+  free(buf);
+}
+
+Pump *pump_start(const char *path, Ring *ring, int64_t chunk) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return nullptr;
+  Pump *p = new Pump();
+  p->ring = ring;
+  p->f = f;
+  p->chunk = chunk;
+  p->stop.store(0);
+  p->thread = std::thread(pump_main, p);
+  return p;
+}
+
+void pump_stop(Pump *p) {
+  if (!p) return;
+  p->stop.store(1);
+  p->thread.join();
+  fclose(p->f);
+  delete p;
+}
+
+}  // extern "C"

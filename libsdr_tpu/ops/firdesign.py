@@ -125,9 +125,16 @@ def bandstop(num_taps: int, fl: float, fu: float, fs: float) -> np.ndarray:
 
 
 def complex_bandpass(num_taps: int, f0: float, width: float, fs: float) -> np.ndarray:
-    """Complex (analytic) band-pass: low-pass of width/2 modulated by
-    ``exp(2j pi f0 i/fs)``; selects only the band around +f0."""
+    """Complex (analytic) band-pass selecting only the band around +f0.
+
+    Sign convention: taps are evaluated as a *correlation*
+    ``y[n] = sum_i k[i] x[n-(N-1)+i]`` (see ops/fir.py), whose response
+    peaks at +f0 for ``k[i] = lp[i] exp(-2j pi f0 i/fs)`` — same sign as the
+    reference's kernel (src/baseband.hh:252).  With the opposite sign the
+    filter selects -f0: the passband-gain test in tests/test_ops.py guards
+    this.
+    """
     n = int(num_taps)
     i = np.arange(n)
     k = _sinc_lowpass(n, width / 2.0, fs).astype(np.complex128)
-    return k * np.exp(2j * np.pi * f0 * i / fs)
+    return k * np.exp(-2j * np.pi * f0 * i / fs)

@@ -109,3 +109,32 @@ def test_channel_batching(rng):
         _, y1 = f1.apply(f1.init_carry(), jnp.asarray(x[c]))
         np.testing.assert_allclose(np.asarray(y_multi)[c], np.asarray(y1),
                                    atol=1e-6)
+
+
+def test_tee_combine_join(rng):
+    """Fan-out + join: Tee branches recombined on a channel axis
+    (reference: src/combine.hh Combine/CombineSink)."""
+    from libsdr_tpu.core.graph import Combine, Tee
+    spec = StreamSpec(jnp.float32, 8000, 64)
+    tee = Tee([Scale(1.0), Scale(-1.0)])
+    tee.bind(spec)
+    comb = Combine(2)
+    comb.bind(tee.branch_specs[0])
+    x = rng.normal(size=64).astype(np.float32)
+    c, ys = tee.apply(tee.init_carry(), jnp.asarray(x))
+    _, stacked = comb.apply((), ys)
+    assert comb.out_spec.channels == (2,)
+    np.testing.assert_allclose(np.asarray(stacked)[0], x, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stacked)[1], -x, atol=1e-6)
+
+
+def test_debug_sinks(rng, capsys):
+    from libsdr_tpu.ops.debug import BitDump, DebugStore, TextDump
+    store = DebugStore()
+    store(np.arange(4.0))
+    store(np.arange(4.0) + 4)
+    np.testing.assert_array_equal(store.concatenated(), np.arange(8.0))
+    TextDump()(np.asarray([1.5, 2.5]))
+    BitDump()(np.asarray([1, 0, 1]))
+    out = capsys.readouterr().out
+    assert "1.5 2.5" in out and "1 0 1" in out

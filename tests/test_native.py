@@ -1,0 +1,69 @@
+"""Native runtime tests: converters, SPSC ring buffer, file pump ingest
+(reference idiom: test/buffertest.cc RawRingBuffer put/take/wraparound)."""
+
+import numpy as np
+import pytest
+
+from libsdr_tpu import native
+from libsdr_tpu.io.ingest import stream_raw_iq
+
+
+def test_native_builds():
+    assert native.available(), "g++ toolchain present in image; build failed"
+
+
+def test_u8_converter_matches_numpy(rng):
+    src = rng.integers(0, 256, 2048).astype(np.uint8)
+    re, im = native.u8_iq_to_planar(src)
+    want = (src.astype(np.float32) - 128.0) / 128.0
+    np.testing.assert_allclose(re, want[0::2], atol=1e-7)
+    np.testing.assert_allclose(im, want[1::2], atol=1e-7)
+
+
+def test_s16_converter_matches_numpy(rng):
+    src = rng.integers(-32768, 32768, 2048).astype(np.int16)
+    re, im = native.s16_iq_to_planar(src)
+    want = src.astype(np.float32) / 32768.0
+    np.testing.assert_allclose(re, want[0::2], atol=1e-7)
+    np.testing.assert_allclose(im, want[1::2], atol=1e-7)
+
+
+def test_ring_buffer_put_take_wraparound(rng):
+    """Mirrors the reference's RawRingBuffer test (test/buffertest.cc)."""
+    ring = native.RingBuffer(256)
+    data = rng.integers(0, 256, 100).astype(np.uint8)
+    assert ring.put(data) == 100
+    assert ring.available == 100
+    out = ring.take(100)
+    np.testing.assert_array_equal(out, data)
+    # wraparound: fill repeatedly past the capacity boundary
+    for _ in range(10):
+        d = rng.integers(0, 256, 200).astype(np.uint8)
+        assert ring.put(d) == 200
+        np.testing.assert_array_equal(ring.take(200), d)
+    # over-capacity put is rejected
+    big = np.zeros(300, np.uint8)
+    assert ring.put(big) == 0
+    # under-filled take is rejected
+    assert ring.take(10) is None
+    ring.close()
+
+
+def test_file_pump_ingest(tmp_path, rng):
+    """End-to-end native ingest: raw u8 IQ file -> pump thread -> ring ->
+    framed complex blocks."""
+    n_pairs = 100_000
+    raw = rng.integers(0, 256, 2 * n_pairs).astype(np.uint8)
+    path = tmp_path / "capture.bin"
+    raw.tofile(path)
+
+    block = 16_384
+    blocks = list(stream_raw_iq(str(path), block))
+    total = np.concatenate(blocks)
+    want_f = (raw.astype(np.float32) - 128.0) / 128.0
+    want = want_f[0::2] + 1j * want_f[1::2]
+    assert len(total) >= n_pairs
+    np.testing.assert_allclose(total[:n_pairs].real, want.real, atol=1e-7)
+    np.testing.assert_allclose(total[:n_pairs].imag, want.imag, atol=1e-7)
+    # padding after EOF is zero
+    assert np.all(total[n_pairs:] == 0)

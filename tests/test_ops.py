@@ -269,3 +269,34 @@ def test_resampler_upsample():
     t_out = (np.arange(len(y)) * 1 / 2 - 4) / fs
     ref = np.sin(2 * np.pi * 440.0 * t_out)
     assert snr_db(ref[50:-50], y[50:-50]) > 45
+
+
+def test_complex_bandpass_absolute_passband_gain():
+    """Guard against modulation-sign errors: a +f0 tone must pass with ~unity
+    gain through the actual FIR evaluation orientation (a -f0 selection bug
+    leaks the tone at -80 dB, which relative-power tests miss)."""
+    fs, f0, n = 96000, 20000.0, 8192
+    tone = siggen.iq_carrier(fs, n, f0)
+    taps = firdesign.complex_bandpass(65, f0, 8000.0, fs)
+    spec = StreamSpec(jnp.complex64, fs, n)
+    f = FIRFilter(order=65, kind="custom", taps=taps)
+    y = _run_blocks(f, spec, tone)
+    gain = np.abs(y[200:]).mean()
+    assert 0.9 < gain < 1.1, f"passband gain {gain}"
+    # image rejection at -f0
+    tone_neg = siggen.iq_carrier(fs, n, -f0)
+    f2 = FIRFilter(order=65, kind="custom", taps=taps)
+    y2 = _run_blocks(f2, spec, tone_neg)
+    assert np.abs(y2[200:]).mean() < 1e-3
+
+
+def test_iqbaseband_absolute_passband_gain():
+    """Same guard at the IQBaseBand level with the textbook designer."""
+    fs, fc = 96000, 20000.0
+    n = 8192 * 4
+    tone = siggen.iq_carrier(fs, n, fc + 500.0)
+    spec = StreamSpec(jnp.complex64, fs, 8192)
+    bb = IQBaseBand(fc=fc, width=8000.0, order=64, decim=4, design="textbook")
+    y = _run_blocks(bb, spec, tone)
+    gain = np.abs(y[200:]).mean()
+    assert 0.8 < gain < 1.1, f"passband gain {gain}"
