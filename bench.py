@@ -35,10 +35,11 @@ def build(n_channels: int, block: int, fs: float = 960_000.0):
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from libsdr_tpu.core import cplx
 
-    n_channels, block = 64, 1 << 17
+    n_channels, block = 128, 1 << 19
     rx = build(n_channels, block)
     step = rx.compile()
     carry = rx.init_carry()
@@ -48,16 +49,17 @@ def main() -> None:
     x = cplx.Complex(jax.random.normal(key, shape, np.float32),
                      jax.random.normal(key, shape, np.float32))
 
-    # Warmup / compile.
+    # Warmup / compile (force materialization: on this backend
+    # block_until_ready alone does not synchronize).
     c, y = step(carry, x)
-    jax.block_until_ready(y)
+    _ = float(jnp.sum(y))
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     c = carry
     for _ in range(iters):
-        c, y = step(c, x)
-    jax.block_until_ready(y)
+        c, y = step(c, x)  # carry chaining serializes the steps
+    _ = float(jnp.sum(y))  # forced readback ends the timed region
     dt = time.perf_counter() - t0
 
     msps = n_channels * block * iters / dt / 1e6

@@ -50,12 +50,30 @@ def _conv1d_real(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray
     return y.reshape(lead + (y.shape[-1],))
 
 
+def _conv1d_multi(x2: jnp.ndarray, kmat: jnp.ndarray,
+                  stride: int) -> jnp.ndarray:
+    """Multi-feature conv: x2 (..., F_in, L) with kernel (F_out, F_in, T)
+    -> (..., F_out, L').  One pass over the input (HBM-bandwidth optimal)."""
+    lead = x2.shape[:-2]
+    f_in, L = x2.shape[-2], x2.shape[-1]
+    xb = x2.reshape((-1, f_in, L))
+    y = jax.lax.conv_general_dilated(
+        xb, kmat.astype(x2.dtype),
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape(lead + y.shape[-2:])
+
+
 def _conv1d(x, k, stride: int = 1):
     """Cross-correlation for any real/planar-complex combination of x and k.
 
-    k is given as numpy (real or complex) or jnp real array; complex taps are
-    split into real plane constants.  Complex*complex uses Karatsuba (3 real
-    convs instead of 4).
+    Complex arithmetic is packed into the conv's feature dimensions so the
+    input streams from HBM exactly once (the dominant cost — the op is
+    bandwidth-bound on TPU): complex*complex is one conv with 2 input
+    features and 2 output features.
     """
     k = np.asarray(k) if not isinstance(k, jnp.ndarray) else k
     k_c = np.iscomplexobj(k)
@@ -63,22 +81,25 @@ def _conv1d(x, k, stride: int = 1):
     if not x_c and not k_c:
         return _conv1d_real(x, jnp.asarray(k, dtype=x.dtype), stride)
     if x_c and not k_c:
+        # Real taps on a complex stream: fold re/im into the batch dim —
+        # still a single conv pass.
         kr = jnp.asarray(k, dtype=x.re.dtype)
-        return Complex(_conv1d_real(x.re, kr, stride),
-                       _conv1d_real(x.im, kr, stride))
+        stacked = jnp.stack([x.re, x.im], axis=0)  # (2, ..., L)
+        y = _conv1d_real(stacked, kr, stride)
+        return Complex(y[0], y[1])
     if not x_c and k_c:
-        kr = jnp.asarray(k.real, dtype=x.dtype)
-        ki = jnp.asarray(k.imag, dtype=x.dtype)
-        return Complex(_conv1d_real(x, kr, stride),
-                       _conv1d_real(x, ki, stride))
-    # complex * complex — Karatsuba: 3 real convs instead of 4.
-    a, b = x.re, x.im
-    kr = jnp.asarray(k.real, dtype=a.dtype)
-    ki = jnp.asarray(k.imag, dtype=a.dtype)
-    ac = _conv1d_real(a, kr, stride)
-    bd = _conv1d_real(b, ki, stride)
-    abcd = _conv1d_real(a + b, kr + ki, stride)
-    return Complex(ac - bd, abcd - ac - bd)
+        kmat = jnp.stack([jnp.asarray(k.real), jnp.asarray(k.imag)]
+                         )[:, None, :]  # (2, 1, T)
+        y = _conv1d_multi(x[..., None, :], kmat, stride)
+        return Complex(y[..., 0, :], y[..., 1, :])
+    # complex * complex: (re', im') = ((kr, -ki), (ki, kr)) . (re, im)
+    kr = np.asarray(k.real, np.float32)
+    ki = np.asarray(k.imag, np.float32)
+    kmat = jnp.asarray(np.stack([np.stack([kr, -ki]),
+                                 np.stack([ki, kr])]))  # (2, 2, T)
+    x2 = jnp.stack([x.re, x.im], axis=-2)               # (..., 2, L)
+    y = _conv1d_multi(x2, kmat, stride)
+    return Complex(y[..., 0, :], y[..., 1, :])
 
 
 def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
