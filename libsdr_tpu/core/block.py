@@ -92,6 +92,13 @@ class Processor:
         return s + ">"
 
 
+class Proxy(Processor):
+    """Pass-through node (reference: src/node.hh:315-327 ``sdr::Proxy``)."""
+
+    def apply(self, carry, x):
+        return carry, x
+
+
 class Lambda(Processor):
     """Wrap a stateless elementwise function as a processor.
 

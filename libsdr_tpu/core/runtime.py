@@ -91,6 +91,21 @@ def run_pipeline(pipeline: Pipeline,
     return carry, out
 
 
+def reblock(blocks: Iterable[np.ndarray], out_size: int) -> Iterator[np.ndarray]:
+    """Host-side re-blocker: accumulate arbitrary-size blocks and emit
+    fixed-size ones (the analog of ``sdr::BufferNode``, reference:
+    src/buffernode.hh:17-102 — needed in front of FFT stages whose block
+    size is part of the transform).  The trailing remainder is dropped,
+    matching the reference's accumulate-until-full behavior."""
+    buf = None
+    for blk in blocks:
+        blk = np.asarray(blk)
+        buf = blk if buf is None else np.concatenate([buf, blk], axis=-1)
+        while buf.shape[-1] >= out_size:
+            yield buf[..., :out_size]
+            buf = buf[..., out_size:]
+
+
 class Throughput:
     """Simple throughput meter for the host driver (the observability the
     reference lacks; SURVEY.md section 5)."""

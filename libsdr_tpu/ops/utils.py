@@ -60,6 +60,21 @@ class Cast(Processor):
         return carry, y
 
 
+class AutoCast(Cast):
+    """Runtime dtype normalization to the compute format (reference:
+    src/autocast.hh AutoCast<T>, the table of 14 cast kernels): any integer
+    or float stream becomes normalized float32 (or complex64 for complex
+    streams), which is what every downstream TPU op consumes."""
+
+    def __init__(self):
+        super().__init__(jnp.float32, normalize=True)
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        self.dtype = jnp.dtype(
+            jnp.complex64 if in_spec.is_complex else jnp.float32)
+        return super()._bind(in_spec)
+
+
 class ToComplex(Processor):
     """Real -> complex with zero imaginary part
     (reference: src/utils.hh ToComplex)."""

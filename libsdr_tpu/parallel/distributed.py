@@ -1,0 +1,54 @@
+"""Multi-host (DCN) initialization hooks.
+
+The reference is strictly single-process (SURVEY.md section 2.9).  For
+multi-host TPU slices the recipe is standard JAX: ``jax.distributed`` +
+a global mesh; channel shards ride DCN between hosts while halos stay on
+ICI within a slice.  Actual multi-host hardware is not available in this
+environment, so this module provides the initialization path and documents
+the deployment contract; the sharded pipelines in
+:mod:`libsdr_tpu.parallel` are host-count agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed (no-op for single-process runs).
+
+    On GKE/GCE TPU pods the arguments come from the environment and may all
+    be omitted (jax auto-detects); pass them explicitly elsewhere.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def global_mesh(axis_names: Sequence[str] = ("ch", "time"),
+                time_parallel: int = 1) -> Mesh:
+    """Mesh over ALL devices (across hosts after init_multihost): channels
+    on the first axis (DCN-friendly — no per-block communication between
+    channel shards), time-block parallelism on the second (halos should stay
+    within a host's ICI domain, so keep ``time_parallel`` <= devices/host)."""
+    devs = np.asarray(jax.devices())
+    n = devs.size
+    t = max(1, time_parallel)
+    return Mesh(devs[: (n // t) * t].reshape(n // t, t), tuple(axis_names))
+
+
+def process_local_batch(global_channels: int) -> slice:
+    """The channel range this host should feed (host-sharded ingest: each
+    host reads only its own capture segment — the multi-host replacement for
+    the reference's single RTL ingest thread)."""
+    p = jax.process_index()
+    n = jax.process_count()
+    per = global_channels // n
+    return slice(p * per, (p + 1) * per)

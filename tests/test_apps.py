@@ -155,3 +155,24 @@ def test_aprs_service(tmp_path):
         data = json.loads(r.read())
     httpd.shutdown()
     assert data == spots
+
+
+def test_psk31_rx_cli(tmp_path):
+    from libsdr_tpu.apps import psk31_rx
+    from libsdr_tpu.decode import varicode_encode_bits
+    fs, spb = 2000, 64
+    text = "cq de tpu"
+    bits = varicode_encode_bits(text)
+    bits = np.concatenate([np.ones(16, np.uint8), bits, np.ones(16, np.uint8)])
+    ph = 0.0
+    phases = []
+    for b in bits:
+        if b == 0:
+            ph += np.pi
+        phases.append(ph)
+    sig = np.exp(1j * np.repeat(phases, spb)).astype(np.complex64)
+    sig = np.concatenate([sig, np.ones((-len(sig)) % 2000, np.complex64)])
+    cap = tmp_path / "psk.wav"
+    write_wav_iq(str(cap), 0.8 * sig, fs)
+    got = psk31_rx.main(["--file", str(cap), "--block-size", "2000"])
+    assert text in got

@@ -138,3 +138,59 @@ def test_debug_sinks(rng, capsys):
     BitDump()(np.asarray([1, 0, 1]))
     out = capsys.readouterr().out
     assert "1.5 2.5" in out and "1 0 1" in out
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    """Checkpoint/resume: restart from block N continues bit-identically
+    (a capability the reference lacks; SURVEY.md section 5)."""
+    from libsdr_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from libsdr_tpu.ops.fir import FIRFilter
+    spec = StreamSpec(jnp.float32, 48000, 256)
+    x = rng.normal(size=8 * 256).astype(np.float32)
+
+    def make():
+        p = Pipeline([FIRFilter(order=31, kind="lowpass", fu=4000)])
+        p.bind(spec)
+        return p
+
+    # full run
+    p = make()
+    carry = p.init_carry()
+    outs = []
+    for i in range(8):
+        carry, y = p.apply(carry, jnp.asarray(x[i * 256:(i + 1) * 256]))
+        outs.append(np.asarray(y))
+        if i == 3:
+            save_checkpoint(str(tmp_path / "ck.npz"), carry, i + 1)
+    full = np.concatenate(outs)
+
+    # resume from block 4
+    p2 = make()
+    carry2, pos, _ = load_checkpoint(str(tmp_path / "ck.npz"), p2.init_carry())
+    assert pos == 4
+    outs2 = []
+    for i in range(pos, 8):
+        carry2, y = p2.apply(carry2, jnp.asarray(x[i * 256:(i + 1) * 256]))
+        outs2.append(np.asarray(y))
+    np.testing.assert_array_equal(np.concatenate(outs2), full[4 * 256:])
+
+
+def test_reblock():
+    from libsdr_tpu.core.runtime import reblock
+    blocks = [np.arange(5.0), np.arange(5.0, 12.0), np.arange(12.0, 13.0)]
+    out = list(reblock(iter(blocks), 4))
+    np.testing.assert_array_equal(np.concatenate(out), np.arange(12.0))
+    assert all(b.shape[-1] == 4 for b in out)
+
+
+def test_autocast_and_proxy(rng):
+    from libsdr_tpu.core.block import Proxy
+    from libsdr_tpu.ops.utils import AutoCast
+    spec = StreamSpec(jnp.int16, 8000, 16)
+    p = Pipeline([AutoCast(), Proxy()])
+    out = p.bind(spec)
+    assert out.dtype == jnp.float32
+    x = jnp.asarray(rng.integers(-32768, 32767, 16), jnp.int16)
+    _, y = p.apply(p.init_carry(), x)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(x, np.float32) / 32768.0, atol=1e-6)
