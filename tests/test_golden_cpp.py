@@ -1,0 +1,296 @@
+"""Golden parity tests against the COMPILED reference C++ (the BASELINE.json
+gate: bit-exact POCSAG decodes and analog outputs within the reference's SNR
+bound, on the same fixtures).
+
+A small harness linking the read-only reference sources is compiled on the
+fly (cached); it runs the reference's own sdr_pocsag chain
+(examples/sdr_pocsag.cc:110-174) on a raw cs16 capture and prints decoded
+messages + dumps the demodulated audio.  The same capture then goes through
+this framework's chain.
+"""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from libsdr_tpu.decode import POCSAGDecoder, pocsag_encode_batch
+
+REF = "/root/reference/src"
+
+_HARNESS = r"""
+// Golden harness: reference sdr_pocsag chain on a raw cs16 capture.
+// argv: <in.raw cs16> <fs> <audio_out.raw s16>
+#include "baseband.hh"
+#include "demod.hh"
+#include "fsk.hh"
+#include "pocsag.hh"
+#include <cstdio>
+#include <vector>
+
+using namespace sdr;
+
+class MsgPrinter : public POCSAG {
+public:
+  void handleMessages() {
+    while (_queue.size()) {
+      Message msg = _queue.front(); _queue.pop_front();
+      if (msg.isEmpty()) continue;
+      printf("MSG addr=%u func=%u bits=%u text=%s\n",
+             msg.address(), msg.function(), msg.bits(),
+             msg.asText().c_str());
+    }
+  }
+};
+
+class AudioDump : public Sink<int16_t> {
+public:
+  FILE *f;
+  AudioDump(FILE *f) : Sink<int16_t>(), f(f) {}
+  virtual void config(const Config &) {}
+  virtual void process(const Buffer<int16_t> &b, bool) {
+    fwrite(b.data(), sizeof(int16_t), b.size(), f);
+  }
+};
+
+int main(int argc, char **argv) {
+  double fs = atof(argv[2]);
+  FILE *fin = fopen(argv[1], "rb");
+  FILE *faud = fopen(argv[3], "wb");
+  if (!fin || !faud) { return 1; }
+
+  IQBaseBand<int16_t> baseband(0, 12.5e3, 21, 0, 22050.0);
+  FMDemod<int16_t> demod;
+  FMDeemph<int16_t> deemph;
+  AudioDump dump(faud);
+  ASKDetector<int16_t> detector(false);
+  BitStream bits(1200, BitStream::NORMAL);
+  MsgPrinter pocsag;
+
+  baseband.connect(&demod, true);
+  demod.connect(&deemph, true);
+  deemph.connect(&dump, true);
+  deemph.connect(&detector, true);
+  detector.connect(&bits, true);
+  bits.connect(&pocsag, true);
+
+  const size_t B = 220500;
+  baseband.config(Config(Config::typeId< std::complex<int16_t> >(), fs, B, 1));
+
+  std::vector< std::complex<int16_t> > buf(B);
+  size_t got;
+  while ((got = fread(buf.data(), sizeof(std::complex<int16_t>), B, fin)) > 0) {
+    Buffer< std::complex<int16_t> > b(got);
+    for (size_t i = 0; i < got; i++) { b[i] = buf[i]; }
+    baseband.process(b, false);
+    pocsag.handleMessages();
+  }
+  pocsag.handleMessages();
+  fclose(fin); fclose(faud);
+  return 0;
+}
+"""
+
+
+def _build_harness(tmpdir: str) -> str:
+    exe = os.path.join(tempfile.gettempdir(), "sdr_golden_harness")
+    src = os.path.join(tmpdir, "harness.cc")
+    cfg = os.path.join(tmpdir, "config.hh")
+    with open(src, "w") as f:
+        f.write(_HARNESS)
+    with open(cfg, "w") as f:
+        f.write('#define SDR_VERSION_STRING "0.1.0"\n')
+    if os.path.exists(exe):
+        return exe
+    cmd = ["g++", "-O2", "-std=c++11", f"-I{tmpdir}", f"-I{REF}", src] + \
+        [f"{REF}/{c}" for c in ["buffer.cc", "node.cc", "queue.cc",
+                                "logger.cc", "exception.cc", "traits.cc",
+                                "fsk.cc", "pocsag.cc", "bch31_21.cc"]] + \
+        ["-o", exe, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception as e:
+        pytest.skip(f"can not build reference harness: {e}")
+    return exe
+
+
+def _pocsag_capture(fs: float, text: str, address: int, amp: int = 10000):
+    """POCSAG FM capture as raw interleaved cs16 (mark=1 -> +4.5 kHz so the
+    reference's non-inverted ASK detector sees mark as positive — its 'ref'
+    discriminator is sign-flipped vs the quadrature convention)."""
+    bits = pocsag_encode_batch(address=address, function=1, text=text)
+    spb = fs / 1200.0
+    n = int(len(bits) * spb)
+    idx = np.minimum((np.arange(n) / spb).astype(np.int64), len(bits) - 1)
+    dev = np.where(bits[idx] > 0, 4500.0, -4500.0)
+    ph = 2 * np.pi * np.cumsum(dev) / fs
+    iq = np.exp(1j * ph)
+    out = np.empty(2 * n, np.int16)
+    out[0::2] = np.round(amp * iq.real).astype(np.int16)
+    out[1::2] = np.round(amp * iq.imag).astype(np.int16)
+    return out, iq.astype(np.complex64) * (amp / 32768.0)
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    """Run the reference chain once; share across tests."""
+    tmp = str(tmp_path_factory.mktemp("golden"))
+    exe = _build_harness(tmp)
+    fs = 220500.0
+    text = "GOLDEN PARITY 123"
+    address = 133742
+    raw, iq = _pocsag_capture(fs, text, address)
+    # pad to a whole number of 220500 blocks
+    n_pad = (-(len(raw) // 2)) % 220500
+    raw = np.concatenate([raw, np.zeros(2 * n_pad, np.int16)])
+    iq = np.concatenate([iq, np.ones(n_pad, np.complex64) * 1e-4])
+    cap = os.path.join(tmp, "cap.raw")
+    aud = os.path.join(tmp, "audio.raw")
+    raw.tofile(cap)
+    res = subprocess.run([exe, cap, str(fs), aud], capture_output=True,
+                         text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    return dict(fs=fs, text=text, address=address, iq=iq,
+                stdout=res.stdout,
+                audio=np.fromfile(aud, np.int16))
+
+
+def test_reference_decodes_fixture(golden):
+    """Sanity: the compiled reference itself decodes our synthesized fixture
+    (validates the encoder against the original implementation)."""
+    assert f"addr={golden['address']}" in golden["stdout"]
+    assert "GOLDEN PARITY 123" in golden["stdout"]
+
+
+def test_pocsag_message_parity_with_reference(golden):
+    """Bit-exact decode parity: our full chain on the same capture yields
+    the same message (BASELINE.json gate)."""
+    import jax.numpy as jnp
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.apps.chains import run_bit_chain
+    from libsdr_tpu.ops import (ASKDetector, BitStream, FMDemod, FMDeemph,
+                                IQBaseBand)
+
+    fs = golden["fs"]
+    fe = Pipeline([
+        IQBaseBand(fc=0, width=12.5e3, order=21, out_rate=22050.0,
+                   design="ref"),
+        FMDemod(),
+        FMDeemph(),
+        # mark = +4.5 kHz in this fixture -> positive after the quadrature
+        # discriminator (the reference's sign-flipped formula needs its
+        # non-inverted detector for the same capture)
+        ASKDetector(invert=False),
+        BitStream(1200.0, mode="normal"),
+    ])
+    fe.bind(StreamSpec(np.complex64, fs, 220500))
+    bits = run_bit_chain(fe, golden["iq"])
+    msgs = POCSAGDecoder().process(bits)
+    assert len(msgs) == 1
+    assert msgs[0].address == golden["address"]
+    assert msgs[0].as_text().rstrip("<NUL>").startswith(golden["text"])
+    # message-for-message identical with the reference's output
+    ref_line = [l for l in golden["stdout"].splitlines() if "MSG" in l][0]
+    assert f"addr={msgs[0].address}" in ref_line
+    assert msgs[0].as_text().replace("<NUL>", "") in ref_line
+
+
+def _deemph_int(x: np.ndarray, fs: float, tau: float = 75e-6) -> np.ndarray:
+    """The reference's integer de-emphasis (src/demod.hh:342-351): rounded
+    truncating integer division update."""
+    alpha = max(1, round(1.0 / (1.0 - np.exp(-1.0 / (fs * tau)))))
+    half = alpha // 2
+
+    def trunc_div(a: int, b: int) -> int:  # C division truncates toward 0
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    avg = 0
+    out = np.empty(len(x), np.int64)
+    for i, v in enumerate(np.asarray(x, np.int64)):
+        diff = int(v) - avg
+        avg += trunc_div(diff + half, alpha) if diff > 0 \
+            else trunc_div(diff - half, alpha)
+        out[i] = avg
+    return out
+
+
+def test_analog_audio_vs_reference(golden):
+    """Analog parity (BASELINE.json: 'within its SNR bound').
+
+    The reference's discriminator is a *half-angle difference*
+    (src/demod.hh:242-254): its output contains pi-magnitude wrap artifacts
+    whose positions are chaotic to +-1 LSB of the Q14 baseband, so
+    sample-wise equality is ill-posed.  The meaningful gates:
+
+    1. structure: our integer-parity emulation correlates strongly with the
+       reference audio at lag 0 (identical timing/scale);
+    2. fidelity: our quadrature discriminator recovers the modulating
+       waveform at least as well as the reference recovers it — i.e. we are
+       within (in fact well inside) the reference's own SNR bound.
+    """
+    import jax.numpy as jnp
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core import run_pipeline, stream_blocks
+    from libsdr_tpu.ops import FMDemod, IQBaseBand
+    from libsdr_tpu.ops.fixedpoint import FMDemodInt
+
+    fs = golden["fs"]
+
+    # --- gate 1: integer-parity emulation tracks the reference ------------
+    chain = Pipeline([
+        IQBaseBand(fc=0, width=12.5e3, order=21, out_rate=22050.0,
+                   design="ref"),
+        FMDemodInt(scale=32768.0),
+    ])
+    chain.bind(StreamSpec(np.complex64, fs, 220500))
+    _, demod = run_pipeline(chain, stream_blocks(golden["iq"], 220500))
+    ours_int = _deemph_int(demod, 22050.0).astype(np.float64)
+    ref = golden["audio"].astype(np.float64)
+    n = min(len(ref), len(ours_int))
+    a, b = 3000, n - 3000
+    corr = np.corrcoef(ref[a:b], ours_int[a:b])[0, 1]
+    assert corr > 0.8, f"integer-parity audio decorrelated: {corr:.3f}"
+    # neighboring lags must be much worse (alignment is exact)
+    corr_l1 = np.corrcoef(ref[a:b], ours_int[a + 1:b + 1])[0, 1]
+    assert corr > corr_l1 + 0.3
+
+    # --- gate 2: we recover the modulation better than the reference ------
+    # ideal modulating waveform (the +-4.5 kHz NRZ deviation), at 22050 Hz
+    bits = pocsag_encode_batch(address=golden["address"], function=1,
+                               text=golden["text"])
+    spb = 22050.0 / 1200.0
+    m = np.arange(n)
+    bidx = np.minimum((m / spb).astype(np.int64), len(bits) - 1)
+    ideal = np.where(bits[bidx] > 0, 1.0, -1.0)
+
+    def fidelity(audio):
+        """Best-lag SNR of `audio` against the ideal NRZ waveform.  The
+        12.5 kHz channel filter smooths the square edges (~4 of 18 samples
+        per bit), bounding this metric near ~6 dB even for a perfect
+        receiver — it is a comparative metric, not an absolute one."""
+        best = -1e9
+        for lag in range(-4, 5):
+            aa, bb = 3000, min(n, len(audio)) - 3000
+            seg = audio[aa + lag:bb + lag] - audio[aa + lag:bb + lag].mean()
+            tgt = ideal[aa:bb] - ideal[aa:bb].mean()
+            g = (seg @ tgt) / (tgt @ tgt)
+            err = seg - g * tgt
+            best = max(best, 10 * np.log10(
+                (g * tgt @ (g * tgt)) / (err @ err + 1e-30)))
+        return best
+
+    quad = Pipeline([
+        IQBaseBand(fc=0, width=12.5e3, order=21, out_rate=22050.0,
+                   design="ref"),
+        FMDemod(),  # proper polar discriminator
+    ])
+    quad.bind(StreamSpec(np.complex64, fs, 220500))
+    _, ours_quad = run_pipeline(quad, stream_blocks(golden["iq"], 220500))
+
+    snr_ref = fidelity(ref)
+    snr_ours = fidelity(np.asarray(ours_quad, np.float64))
+    assert snr_ours >= snr_ref, (snr_ours, snr_ref)
+    assert snr_ours > 3, f"quadrature chain fidelity too low: {snr_ours:.1f}"
