@@ -294,3 +294,116 @@ def test_analog_audio_vs_reference(golden):
     snr_ours = fidelity(np.asarray(ours_quad, np.float64))
     assert snr_ours >= snr_ref, (snr_ours, snr_ref)
     assert snr_ours > 3, f"quadrature chain fidelity too low: {snr_ours:.1f}"
+
+
+# ---------------------------------------------------------------------------
+# AX.25 golden parity (reference chain: examples/sdr_ax25.cc:109-175)
+# ---------------------------------------------------------------------------
+
+_AX25_HARNESS = r"""
+// Reference sdr_ax25 chain on raw s16 audio: argv <in.raw s16> <fs>
+#include "fsk.hh"
+#include "ax25.hh"
+#include <cstdio>
+#include <vector>
+
+using namespace sdr;
+
+class FramePrinter : public AX25 {
+public:
+  void handleAX25Message(const Message &m) {
+    printf("FRAME from=%s-%zu to=%s-%zu N=%zu payload=",
+           m.from().call().c_str(), m.from().ssid(),
+           m.to().call().c_str(), m.to().ssid(), m.payload().size());
+    for (size_t i = 0; i < m.payload().size(); i++)
+      printf("%02x", (unsigned char)m.payload()[i]);
+    printf("\n");
+  }
+};
+
+int main(int argc, char **argv) {
+  double fs = atof(argv[2]);
+  FILE *fin = fopen(argv[1], "rb");
+  if (!fin) return 1;
+  FSKDetector fsk(1200, 1200, 2200);
+  BitStream bits(1200, BitStream::TRANSITION);
+  FramePrinter ax25;
+  fsk.connect(&bits, true);
+  bits.connect(&ax25, true);
+  const size_t B = 12000;
+  fsk.config(Config(Config::typeId<int16_t>(), fs, B, 1));
+  std::vector<int16_t> buf(B);
+  size_t got;
+  while ((got = fread(buf.data(), sizeof(int16_t), B, fin)) > 0) {
+    Buffer<int16_t> b(got);
+    for (size_t i = 0; i < got; i++) b[i] = buf[i];
+    fsk.process(b, false);
+  }
+  fclose(fin);
+  return 0;
+}
+"""
+
+
+def _build_ax25_harness(tmpdir: str) -> str:
+    exe = os.path.join(tempfile.gettempdir(), "sdr_golden_ax25")
+    src = os.path.join(tmpdir, "harness_ax25.cc")
+    cfg = os.path.join(tmpdir, "config.hh")
+    with open(src, "w") as f:
+        f.write(_AX25_HARNESS)
+    with open(cfg, "w") as f:
+        f.write('#define SDR_VERSION_STRING "0.1.0"\n')
+    if os.path.exists(exe):
+        return exe
+    cmd = ["g++", "-O2", "-std=c++11", f"-I{tmpdir}", f"-I{REF}", src] + \
+        [f"{REF}/{c}" for c in ["buffer.cc", "node.cc", "queue.cc",
+                                "logger.cc", "exception.cc", "traits.cc",
+                                "fsk.cc", "ax25.cc"]] + \
+        ["-o", exe, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception as e:
+        pytest.skip(f"can not build AX.25 harness: {e}")
+    return exe
+
+
+def test_ax25_frame_parity_with_reference(tmp_path):
+    """Bit-exact AX.25 parity: the compiled reference and our chain deframe
+    the identical packet from the same AFSK audio capture."""
+    from libsdr_tpu.apps.chains import afsk_front_end, run_bit_chain
+    from libsdr_tpu.decode import AX25Decoder, ax25_frame_bits
+    from libsdr_tpu.ops import siggen
+
+    exe = _build_ax25_harness(str(tmp_path))
+    fs = 24000.0
+    info = b"!4903.50N/07201.75W-golden"
+    frame_bits = ax25_frame_bits("N0CALL", "APRS", info, n_flags=60)
+    # NRZI line coding + realistic TX clock offset (see tests/test_apps.py)
+    line, cur = [], 0
+    for bb in frame_bits:
+        if bb == 0:
+            cur ^= 1
+        line.append(cur)
+    audio = siggen.fsk_modulate(fs, np.asarray(line, np.uint8), 1202.0,
+                                1200.0, 2200.0).real
+    audio = np.concatenate([audio, np.zeros(4000, np.float32)])
+    s16 = np.round(audio * 10000).astype(np.int16)
+    cap = tmp_path / "afsk.raw"
+    s16.tofile(cap)
+
+    res = subprocess.run([exe, str(cap), str(fs)], capture_output=True,
+                         text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    ref_frames = [l for l in res.stdout.splitlines() if l.startswith("FRAME")]
+    assert ref_frames, "reference did not decode the fixture"
+
+    fe = afsk_front_end(fs, 12000)
+    bits = run_bit_chain(fe, (s16.astype(np.float32) / 32768.0))
+    dec = AX25Decoder()
+    dec.process(bits)
+    assert dec.messages, "our chain did not decode the fixture"
+    m = dec.messages[0]
+    payload_hex = m.payload.hex()
+    assert f"from={m.frm.call}-{m.frm.ssid}" in ref_frames[0]
+    assert f"to={m.to.call}-{m.to.ssid}" in ref_frames[0]
+    assert payload_hex in ref_frames[0], "payload bytes differ"
