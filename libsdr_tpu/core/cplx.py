@@ -155,6 +155,22 @@ def exp_i(theta) -> Complex:
     return Complex(jnp.cos(theta), jnp.sin(theta))
 
 
+def pack_planes(x: Complex) -> jnp.ndarray:
+    """Planar Complex -> one packed (..., 2, L) real array (re plane first).
+
+    A real copy when the planes are independent buffers; XLA's algebraic
+    simplifier elides it (stack of adjacent slices == original buffer) when
+    the planes came from :func:`unpack_planes` of an already-packed array —
+    so feeding jitted steps packed input (see ``io.ingest`` / the runtime)
+    makes conv feature-packing free."""
+    return jnp.stack([x.re, x.im], axis=-2)
+
+
+def unpack_planes(packed) -> Complex:
+    """Packed (..., 2, L) real array -> planar Complex view (slices)."""
+    return Complex(packed[..., 0, :], packed[..., 1, :])
+
+
 def concatenate(xs: Sequence, axis: int = -1):
     if isinstance(xs[0], Complex):
         return Complex(jnp.concatenate([x.re for x in xs], axis=axis),

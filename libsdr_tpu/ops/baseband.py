@@ -16,8 +16,16 @@ average into the kernel —
     g      = full_conv(k', ones(D)/D)            (length N+D-1 taps)
     out[j] = sum_m g[m] * x~[j*D - (N-1) + m]    (ONE strided convolution)
 
-so the whole node is a FreqShift followed by one strided MXU convolution —
-no per-sample loop, no intermediate full-rate buffer.
+and then commute the NCO all the way through to the *decimated* side — the
+chain is bandwidth-bound, so the full-rate mixed intermediate x~ (one HBM
+write + one read of the whole stream) is the single biggest cost.  With
+g2[i] = g[i] * exp(-i w (i - (T-1) + offset)) (another host-side constant):
+
+    out[j] = exp(-i w D j) * sum_i g2[i] * x[j*D + offset - (T-1) + i]
+
+i.e. ONE strided convolution over the RAW input followed by an NCO running
+at the output rate (D times fewer phasor evaluations, no full-rate
+intermediate).  Exactly equal in exact arithmetic.
 """
 
 from __future__ import annotations
@@ -92,9 +100,18 @@ class IQBaseBand(Processor):
         else:
             k = firdesign.complex_bandpass(self.order, self.ff, self.width, fs)
         g = fused_baseband_taps(k, self.fc, fs, self.decim)
+        # Commute the NCO through the convolution to the decimated side (see
+        # module docstring): conv taps pick up the per-tap phase, the output
+        # is mixed by exp(-i w D j) — which is exactly FreqShift(fc) bound at
+        # the OUTPUT rate fs/D (2 pi fc / (fs/D) = w D), whose phasor carry
+        # tracks the global output index.
+        t = len(g)
+        w = 2 * np.pi * self.fc / fs
+        offset = self.decim - 1  # FIRFilter's first-output offset
+        g2 = g * np.exp(-1j * w * (np.arange(t) - (t - 1) + offset))
         self._inner = Pipeline([
+            FIRFilter(order=t, kind="custom", taps=g2, decim=self.decim),
             FreqShift(self.fc),
-            FIRFilter(order=len(g), kind="custom", taps=g, decim=self.decim),
         ], name="IQBaseBand")
         return self._inner.bind(in_spec)
 

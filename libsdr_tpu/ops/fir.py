@@ -31,6 +31,13 @@ from libsdr_tpu.core.stream import ConfigError, StreamSpec
 from libsdr_tpu.ops import firdesign
 
 
+# Default conv precision is bf16 on TPU, far too lossy for DSP filters.
+# HIGH (3-pass bf16 emulation of f32, ~126 dB SNR) is ~1.7x faster than
+# HIGHEST (6-pass) on the v5e and well above every decode/SNR contract in
+# the reference; keep HIGHEST available for oracle work.
+CONV_PRECISION = jax.lax.Precision.HIGH
+
+
 def _conv1d_real(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """Batched real 1-D cross-correlation: y[..., j] = sum_i k[i] x[..., j*stride+i].
 
@@ -44,8 +51,7 @@ def _conv1d_real(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray
         window_strides=(stride,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        # Default conv precision is bf16 on TPU; DSP filters need full f32.
-        precision=jax.lax.Precision.HIGHEST,
+        precision=CONV_PRECISION,
     )
     return y.reshape(lead + (y.shape[-1],))
 
@@ -62,7 +68,7 @@ def _conv1d_multi(x2: jnp.ndarray, kmat: jnp.ndarray,
         window_strides=(stride,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=CONV_PRECISION,
     )
     return y.reshape(lead + y.shape[-2:])
 
@@ -70,10 +76,11 @@ def _conv1d_multi(x2: jnp.ndarray, kmat: jnp.ndarray,
 def _conv1d(x, k, stride: int = 1):
     """Cross-correlation for any real/planar-complex combination of x and k.
 
-    Complex arithmetic is packed into the conv's feature dimensions so the
-    input streams from HBM exactly once (the dominant cost — the op is
-    bandwidth-bound on TPU): complex*complex is one conv with 2 input
-    features and 2 output features.
+    The op is HBM-bandwidth-bound on TPU, so the planar re/im planes are
+    NEVER stacked into one buffer (conv operands must be materialized — a
+    stack would re-write the whole full-rate stream).  Each plane streams
+    from HBM exactly once through its own conv; cross terms combine in the
+    (decimated) elementwise epilogue, which XLA fuses.
     """
     k = np.asarray(k) if not isinstance(k, jnp.ndarray) else k
     k_c = np.iscomplexobj(k)
@@ -81,25 +88,130 @@ def _conv1d(x, k, stride: int = 1):
     if not x_c and not k_c:
         return _conv1d_real(x, jnp.asarray(k, dtype=x.dtype), stride)
     if x_c and not k_c:
-        # Real taps on a complex stream: fold re/im into the batch dim —
-        # still a single conv pass.
+        # Real taps on a complex stream: one conv per plane.
         kr = jnp.asarray(k, dtype=x.re.dtype)
-        stacked = jnp.stack([x.re, x.im], axis=0)  # (2, ..., L)
-        y = _conv1d_real(stacked, kr, stride)
-        return Complex(y[0], y[1])
+        return Complex(_conv1d_real(x.re, kr, stride),
+                       _conv1d_real(x.im, kr, stride))
     if not x_c and k_c:
         kmat = jnp.stack([jnp.asarray(k.real), jnp.asarray(k.imag)]
                          )[:, None, :]  # (2, 1, T)
         y = _conv1d_multi(x[..., None, :], kmat, stride)
         return Complex(y[..., 0, :], y[..., 1, :])
-    # complex * complex: (re', im') = ((kr, -ki), (ki, kr)) . (re, im)
+    # complex * complex: (re', im') = ((kr, -ki), (ki, kr)) . (re, im) as one
+    # 2->2-feature conv.  On this backend conv cost is ~independent of the
+    # feature count (lowering is per batch x spatial), so one 2-feature conv
+    # beats two 1-feature convs even though the stack is a real copy; the
+    # stack is elided entirely when the planes are adjacent slices of one
+    # packed buffer (see cplx.Complex.packed / the runtime's packed ingest).
     kr = np.asarray(k.real, np.float32)
     ki = np.asarray(k.imag, np.float32)
     kmat = jnp.asarray(np.stack([np.stack([kr, -ki]),
                                  np.stack([ki, kr])]))  # (2, 2, T)
-    x2 = jnp.stack([x.re, x.im], axis=-2)               # (..., 2, L)
+    x2 = cplx.pack_planes(x)                            # (..., 2, L)
     y = _conv1d_multi(x2, kmat, stride)
     return Complex(y[..., 0, :], y[..., 1, :])
+
+
+# --------------------------------------------------------------------------
+# MXU matmul FIR (block-Toeplitz): XLA lowers small-feature convs to VPU-rate
+# sliding windows (~1 GMAC/ms on the v5e), so the decimating FIR is instead
+# cast as ONE dense matmul per input plane over non-overlapping frames — a
+# reshape-only framing (no gather/stack/copy of the full-rate stream):
+#
+#   X = x.reshape(..., F, S*D)                     (free)
+#   P = X @ [A | C]                                (MXU)
+#   y[f, s] = P[f, s] + P[f+1, spill_s]            (decimated-rate epilogue)
+#
+# where A[m, s] = g[m - sD] (window of output s inside its frame) and the
+# slim spill matrix C holds the tap tails of the last ceil((T-1)/D) outputs
+# per frame, whose windows extend into the next frame.  Complex taps double
+# the columns ([Ar|Cr|Ai|Ci]); complex input runs one matmul per plane and
+# combines in the epilogue (never stacking the planes).
+# --------------------------------------------------------------------------
+
+def _fir_matmul_build(taps: np.ndarray, stride: int, s_out: int,
+                      offset: int = 0):
+    """Host-side constants for the block-Toeplitz FIR matmul.
+
+    Output s of frame f is the window starting at input ``offset + (f*S+s) *
+    stride`` (frame-relative start ``offset + s*stride``).  Returns
+    (M, nsp, s_first): M is (S*stride, ncols) float32 with column layout
+    [A | C] (real taps) or [Ar | Cr | Ai | Ci] (complex taps); the last
+    ``nsp`` outputs per frame take their tap tail from the next frame."""
+    t = taps.shape[0]
+    sd = s_out * stride
+    assert offset + t <= sd + stride, "window may span at most two frames"
+    spill = [s for s in range(s_out) if offset + s * stride + t > sd]
+    nsp = max(len(spill), 1)  # keep >=1 (zero) column so the epilogue is uniform
+    s_first = s_out - nsp
+    a = np.zeros((sd, s_out), np.complex128 if np.iscomplexobj(taps) else np.float64)
+    c = np.zeros((sd, nsp), a.dtype)
+    for s in range(s_out):
+        lo = offset + s * stride
+        n_in = min(t, sd - lo)
+        a[lo:lo + n_in, s] = taps[:n_in]
+        if n_in < t:
+            c[:t - n_in, s - s_first] = taps[n_in:]
+    if np.iscomplexobj(taps):
+        m = np.concatenate([a.real, c.real, a.imag, c.imag], axis=1)
+    else:
+        m = np.concatenate([a, c], axis=1)
+    return jnp.asarray(m.astype(np.float32)), nsp, s_first
+
+
+def _fir_matmul_plane(x: jnp.ndarray, m: jnp.ndarray, s_out: int,
+                      stride: int) -> jnp.ndarray:
+    """One plane through the Toeplitz matmul: x (..., F*S*stride) real ->
+    P (..., F, ncols)."""
+    lead = x.shape[:-1]
+    sd = s_out * stride
+    f = x.shape[-1] // sd
+    xf = x.reshape(lead + (f, sd))
+    return jax.lax.dot_general(
+        xf, m, (((xf.ndim - 1,), (0,)), ((), ())),
+        precision=CONV_PRECISION)
+
+
+def _fir_matmul_epilogue(p_main, p_spill, s_first: int):
+    """y[f] = main[f] + spill-from-frame-f+1, zero-padded to column s_first."""
+    nsp = p_spill.shape[-1]
+    zero = jnp.zeros(p_spill.shape[:-2] + (1, nsp), p_spill.dtype)
+    sp = jnp.concatenate([p_spill[..., 1:, :], zero], axis=-2)
+    pad = [(0, 0)] * (p_main.ndim - 1) + [(s_first, 0)]
+    y = p_main + jnp.pad(sp, pad)
+    return y.reshape(y.shape[:-2] + (-1,))
+
+
+def _fir_matmul(x, k: np.ndarray, stride: int, s_out: int, offset: int = 0):
+    """Decimating FIR over frames via MXU matmul.  x trailing length must be
+    a multiple of S*stride; returns all F*S outputs, of which the final
+    ``nsp`` (whose windows need the next block) are garbage — the caller
+    keeps only the valid count."""
+    m, nsp, s_first = _fir_matmul_build(np.asarray(k), stride, s_out, offset)
+    s = s_out
+    k_c = np.iscomplexobj(k)
+    x_c = isinstance(x, Complex)
+    if not k_c:
+        if not x_c:
+            p = _fir_matmul_plane(x, m, s, stride)
+            return _fir_matmul_epilogue(p[..., :s], p[..., s:], s_first), nsp
+        return Complex(
+            *[_fir_matmul_epilogue(p[..., :s], p[..., s:], s_first)
+              for p in (_fir_matmul_plane(x.re, m, s, stride),
+                        _fir_matmul_plane(x.im, m, s, stride))]), nsp
+    a, b, c0 = s, s + nsp, 2 * s + nsp
+    if not x_c:
+        p = _fir_matmul_plane(x, m, s, stride)
+        return Complex(
+            _fir_matmul_epilogue(p[..., :a], p[..., a:b], s_first),
+            _fir_matmul_epilogue(p[..., b:c0], p[..., c0:], s_first)), nsp
+    pr = _fir_matmul_plane(x.re, m, s, stride)
+    pi = _fir_matmul_plane(x.im, m, s, stride)
+    yr = _fir_matmul_epilogue(pr[..., :a] - pi[..., b:c0],
+                              pr[..., a:b] - pi[..., c0:], s_first)
+    yi = _fir_matmul_epilogue(pi[..., :a] + pr[..., b:c0],
+                              pi[..., a:b] + pr[..., c0:], s_first)
+    return Complex(yr, yi), nsp
 
 
 def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
@@ -116,12 +228,66 @@ def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
     Returns:
       (y, new_tail): y has trailing length ``(B - offset - 1)//stride + 1``;
       new_tail is the last T-1 samples of ``concat(tail, x)``.
+
+    The chain is HBM-bandwidth-bound, so materializing ``concat(tail, x)``
+    (a full extra write + read of the stream) would dominate.  Instead the
+    few outputs whose window straddles the block boundary come from a tiny
+    concat of the tail and the head of ``x``; the main convolution reads
+    ``x`` from HBM directly, exactly once.
     """
     t = int(np.asarray(taps).shape[0])
-    xc = cplx.concatenate([tail, x], axis=-1) if t > 1 else x
-    y = _conv1d(xc[..., offset:], taps, stride)
-    new_tail = xc[..., xc.shape[-1] - (t - 1):] if t > 1 else tail
+    if t <= 1:
+        return _conv1d(x[..., offset:], taps, stride), tail
+    b = x.shape[-1] if not isinstance(x, Complex) else x.re.shape[-1]
+    # Output j's window covers input samples [offset + j*stride - (t-1),
+    # offset + j*stride] in tail-concatenated coordinates shifted by t-1:
+    # global window start s(j) = offset + j*stride - (t-1) relative to x[0].
+    n_lead = -(-(t - 1 - offset) // stride) if t - 1 > offset else 0
+    s0 = offset + n_lead * stride - (t - 1)  # first in-x-only window start
+    if b < t - 1 + max(s0, 0) or n_lead <= 0:
+        # Small blocks (or no boundary outputs): fall back to the dense path.
+        xc = cplx.concatenate([tail, x], axis=-1)
+        y = _conv1d(xc[..., offset:], taps, stride)
+        new_tail = xc[..., xc.shape[-1] - (t - 1):]
+        return y, new_tail
+    # Boundary outputs: windows end at offset + j*stride for j < n_lead;
+    # the last one needs x up to index offset + (n_lead-1)*stride (inclusive).
+    head_len = offset + (n_lead - 1) * stride + 1
+    xc_head = cplx.concatenate([tail, x[..., :head_len]], axis=-1)
+    y_lead = _conv1d(xc_head[..., offset:], taps, stride)
+    y_main = _fir_main(x, taps, stride, s0)
+    y = cplx.concatenate([y_lead, y_main], axis=-1)
+    new_tail = x[..., b - (t - 1):]
     return y, new_tail
+
+
+def _fir_main(x, taps, stride: int, s0: int):
+    """In-block FIR outputs (window start s0 + j*stride, fully inside x).
+
+    Dispatches to the MXU block-Toeplitz matmul when profitable (decimating
+    filters on large blocks — ~2x the conv path on the v5e); otherwise the
+    XLA conv.  The matmul path reads the whole unsliced block (the offset is
+    baked into the Toeplitz matrices) so no full-rate copy is ever made;
+    the last few outputs whose windows spill past the final frame come from
+    a small conv on the block tail."""
+    b = x.shape[-1] if not isinstance(x, Complex) else x.re.shape[-1]
+    t = int(np.asarray(taps).shape[0])
+    n_main = (b - s0 - t) // stride + 1
+    s_out = max(-(-t // stride), 512 // stride, 1)
+    sd = s_out * stride
+    use_mm = (stride > 1 and t > 8 and b % sd == 0 and b // sd >= 2
+              and s0 + t <= sd + stride)
+    if not use_mm:
+        return _conv1d(x[..., s0:], taps, stride)
+    f_full = b // sd
+    y_mm, nsp = _fir_matmul(x, taps, stride, s_out, offset=s0)
+    n_valid = min(f_full * s_out - nsp, n_main)
+    y_mm = y_mm[..., :n_valid]
+    if n_valid == n_main:
+        return y_mm
+    rem_start = s0 + n_valid * stride
+    y_rest = _conv1d(x[..., rem_start:], taps, stride)
+    return cplx.concatenate([y_mm, y_rest], axis=-1)
 
 
 class FIRFilter(Processor):

@@ -69,6 +69,32 @@ def test_fir_decimating_alignment(rng):
     np.testing.assert_allclose(y, full[d - 1::d], atol=1e-5)
 
 
+@pytest.mark.parametrize("decim,order,cplx_x,cplx_k", [
+    (4, 68, True, True),    # the flagship IQBaseBand shape (MXU matmul path)
+    (4, 68, False, True),
+    (4, 68, True, False),
+    (4, 68, False, False),
+    (2, 33, True, True),
+    (8, 100, False, False),
+])
+def test_fir_matmul_path_matches_ring(rng, decim, order, cplx_x, cplx_k):
+    """The block-Toeplitz MXU matmul backend (large decimating blocks) must
+    equal the per-sample ring oracle for every real/complex combination,
+    including across block and frame boundaries."""
+    n = 8192  # block 4096 >= 2 frames of S*decim -> matmul path engaged
+    x = rng.normal(size=n).astype(np.float32)
+    if cplx_x:
+        x = (x + 1j * rng.normal(size=n)).astype(np.complex64)
+    taps = rng.normal(size=order).astype(np.float64)
+    if cplx_k:
+        taps = taps + 1j * rng.normal(size=order)
+    spec = StreamSpec(jnp.complex64 if cplx_x else jnp.float32, 48000, 4096)
+    f = FIRFilter(order=order, kind="custom", taps=taps, decim=decim)
+    y = _run_blocks(f, spec, x)
+    full = refm.fir_ring(x, taps)
+    assert snr_db(full[decim - 1::decim], y) > 90
+
+
 def test_fir_lowpass_frequency_response():
     """Design sanity: passband ~0 dB, stopband < -40 dB."""
     taps = firdesign.lowpass(101, 4000, 48000)
