@@ -31,15 +31,20 @@ class Pipeline(Processor):
     FMDemod -> FMDeemph -> PortSink, reference: examples/sdr_fm.cc:38-64).
     """
 
-    def __init__(self, stages: Sequence[Processor], name: str = "Pipeline"):
+    def __init__(self, stages: Sequence[Processor], name: str = "Pipeline",
+                 optimize: bool = True):
         super().__init__()
         self.stages: List[Processor] = list(stages)
         self.name = name
+        self.optimize = optimize
         self._step = None
 
     # -- spec propagation (the "Config propagation" pass) ---------------------
 
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        if self.optimize:
+            from libsdr_tpu.core.fuse import fuse_stages
+            self.stages = fuse_stages(self.stages)
         spec = in_spec
         for stage in self.stages:
             spec = stage.bind(spec)

@@ -85,6 +85,11 @@ class IQBaseBand(Processor):
         self.decim = int(decim)
         self.out_rate = out_rate
         self.design = design
+        # Set by the graph fusion pass (core/fuse.py) when the immediate
+        # consumer is rotation-invariant (AMDemod) or folds the rotation
+        # into its conjugate product (quadrature FMDemod): skip the
+        # output-rate NCO entirely and emit the unrotated FIR output.
+        self.fold_nco = False
         self._inner: Pipeline | None = None
 
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
@@ -109,10 +114,10 @@ class IQBaseBand(Processor):
         w = 2 * np.pi * self.fc / fs
         offset = self.decim - 1  # FIRFilter's first-output offset
         g2 = g * np.exp(-1j * w * (np.arange(t) - (t - 1) + offset))
-        self._inner = Pipeline([
-            FIRFilter(order=t, kind="custom", taps=g2, decim=self.decim),
-            FreqShift(self.fc),
-        ], name="IQBaseBand")
+        stages = [FIRFilter(order=t, kind="custom", taps=g2, decim=self.decim)]
+        if not self.fold_nco:
+            stages.append(FreqShift(self.fc))
+        self._inner = Pipeline(stages, name="IQBaseBand")
         return self._inner.bind(in_spec)
 
     def init_carry(self):

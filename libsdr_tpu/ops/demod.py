@@ -65,21 +65,37 @@ class FMDemod(Processor):
         super().__init__()
         self.mode = mode
         self.gain = float(gain)
+        # Mixer rotations folded in by the graph fusion pass (core/fuse.py):
+        # an upstream NCO e^(-i w n) collapses to the constant e^(-i w) in
+        # the x[n]*conj(x[n-1]) product.
+        self._pending_rot_freqs: list = []
+        self._rot = None
 
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
         in_spec.require_complex("FMDemod")
+        if self._pending_rot_freqs:
+            w = 2.0 * np.pi * sum(self._pending_rot_freqs) / in_spec.rate_hz
+            self._rot = cplx.constant(np.exp(-1j * w), in_spec.real_dtype)
         return in_spec.with_(dtype=real_dtype_of(in_spec.dtype))
 
     def init_carry(self):
         ch = self.in_spec.channels
         if self.mode == "quadrature":
-            return cplx.full_like_phasor(ch, self.in_spec.real_dtype)
+            phasor = cplx.full_like_phasor(ch, self.in_spec.real_dtype)
+            if self._rot is not None:
+                # Cancel the folded rotation on the very first sample so the
+                # initial transient matches the unfused graph exactly.
+                phasor = phasor * self._rot
+            return phasor
         return jnp.zeros(ch, self.out_spec.dtype)  # prev half-angle
 
     def apply(self, carry, x):
         if self.mode == "quadrature":
             prev = cplx.concatenate([carry[..., None], x[..., :-1]], axis=-1)
-            y = (x * prev.conj()).angle() * self.gain
+            z = x * prev.conj()
+            if self._rot is not None:
+                z = z * self._rot
+            y = z.angle() * self.gain
             return x[..., -1], y
         # -- 'ref' mode ------------------------------------------------------
         phi = jnp.arctan2(x.re, x.im) * 0.5

@@ -194,3 +194,44 @@ def test_autocast_and_proxy(rng):
     _, y = p.apply(p.init_carry(), x)
     np.testing.assert_allclose(np.asarray(y),
                                np.asarray(x, np.float32) / 32768.0, atol=1e-6)
+
+
+def test_fuse_nco_into_fm_demod(rng):
+    """The graph fusion pass (core/fuse.py) deletes the NCO in front of a
+    quadrature FMDemod / AMDemod; outputs must be exactly-equal in math
+    (float-tight here) to the unfused graph."""
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import AMDemod, FMDemod, FreqShift, IQBaseBand
+
+    fs, n, bs = 96000, 4096, 2048
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+
+    def run(stages, optimize):
+        p = Pipeline(list(stages), optimize=optimize)
+        p.bind(StreamSpec(jnp.complex64, fs, bs))
+        carry = p.init_carry()
+        outs = []
+        for i in range(n // bs):
+            carry, y = p.apply(carry, cplx.as_block(x[i * bs:(i + 1) * bs]))
+            outs.append(cplx.to_numpy(y))
+        return p, np.concatenate(outs, axis=-1)
+
+    # FreqShift -> FMDemod: shift dropped, rotation folded
+    p1, y_fused = run([FreqShift(1200.0), FMDemod()], True)
+    assert len(p1.stages) == 1 and isinstance(p1.stages[0], FMDemod)
+    _, y_ref = run([FreqShift(1200.0), FMDemod()], False)
+    np.testing.assert_allclose(y_fused, y_ref, atol=1e-4)
+
+    # IQBaseBand -> FMDemod: output-rate NCO skipped
+    bb = lambda: IQBaseBand(fc=12000, width=8000, order=16, decim=4,
+                            design="textbook")
+    p2, y_fused = run([bb(), FMDemod()], True)
+    assert p2.stages[0].fold_nco
+    _, y_ref = run([bb(), FMDemod()], False)
+    np.testing.assert_allclose(y_fused, y_ref, atol=1e-4)
+
+    # FreqShift -> AMDemod: |x| rotation-invariant, shift dropped
+    p3, y_fused = run([FreqShift(700.0), AMDemod()], True)
+    assert len(p3.stages) == 1 and isinstance(p3.stages[0], AMDemod)
+    _, y_ref = run([FreqShift(700.0), AMDemod()], False)
+    np.testing.assert_allclose(y_fused, y_ref, atol=1e-4)
