@@ -1,0 +1,249 @@
+"""Pallas TPU MXU kernel for the decimating complex FIR — the hot op of
+every receive chain (reference per-sample loop: src/baseband.hh:226-236).
+
+The XLA path (ops/fir.py::_fir_matmul) already casts the FIR as a
+block-Toeplitz matmul, but XLA materializes the per-frame product P in HBM
+(~0.7x the input size, written + re-read).  This kernel keeps P in VMEM:
+
+  HBM traffic = read x once + write y once   (the bandwidth floor)
+
+Backend facts that shaped the design (measured on the v5e):
+  * small strided DMAs cost ~35us each -> ONE large DMA per plane per step;
+  * reshapes of HBM arrays are physical relayout copies (tiled layouts) ->
+    the kernel reads the natural 2-D (C, B) array and takes per-frame LANE
+    slices of a 2-D VMEM scratch (sd is a multiple of 128, so every slice
+    is tile-aligned and free);
+  * the MXU wants 128 rows -> the channel tile is the whole channel bank
+    (up to 128), and each frame is one (CT, SD) x (SD, 512) matmul;
+  * Mosaic lowers only DEFAULT/HIGHEST dot precision -> f32 accuracy comes
+    from a manual 3-pass bf16 split (identical error model to XLA HIGH).
+
+Column layout of the Toeplitz matrix (S = outputs/frame = 128, spill group
+padded to 128 so every lane slice is 128-aligned):
+
+  [ Ar (S) | Ai (S) | Cr (128) | Ci (128) ]
+
+  y_re = Xre@Ar - Xim@Ai + spill_re(next frame)
+  y_im = Xre@Ai + Xim@Ar + spill_im(next frame)
+
+Spill (windows of the last outputs of a frame reaching into the next frame)
+is resolved locally: each step also DMAs a one-frame halo; for the final
+frame tile the halo clamps in-bounds and poisons exactly the ``nsp``
+block-tail outputs the overlap-save caller discards anyway.
+
+Double buffering: scratch has a slot dimension; each grid step prefetches
+the next step's input while the MXU chews on the current slot.
+
+Measured on the v5e (128 ch x 512k block, 68 taps, D=4): ~11 ms (~6.1 Gsps),
+vs ~7.2 ms for the XLA block-Toeplitz matmul path (ops/fir.py::_fir_matmul)
+— per-grid-step overheads on this backend dominate and timings vary +-30%
+run to run, so the XLA path stays the default and this kernel is the
+alternative backend (and the worked example of the MXU-matmul +
+double-buffered-DMA pattern).  Precision probes (1-pass bf16 vs 3-pass vs
+f32-HIGHEST) land within noise of each other, confirming the kernel is not
+compute-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from libsdr_tpu.core.cplx import Complex
+
+_S = 128          # outputs per frame
+_NSP_PAD = 128    # spill column group width (>= ceil((T-1+offset)/stride))
+_FT = 8           # frames per grid step (16+ exceeds the 16 MB VMEM)
+_CT = 128         # channels per grid step (full MXU rows)
+# 'x3': manual 3-pass bf16 split (~1e-5 rel err, equals XLA's HIGH; Mosaic
+# itself only lowers DEFAULT/HIGHEST).  'highest': one f32 dot at bf16x6.
+_PRECISION = "x3"
+
+
+def mxu_fir_supported(taps_len: int, stride: int, offset: int,
+                      channels: int, block: int) -> bool:
+    """Shape gate for the kernel (callers fall back to the XLA matmul)."""
+    sd = _S * stride
+    nsp = -(-(taps_len - 1 + offset) // stride)
+    ct = min(channels, _CT)
+    return (stride > 1
+            and nsp <= _NSP_PAD
+            and offset + taps_len <= sd + stride
+            and channels % ct == 0 and ct % 8 == 0
+            and block % (_FT * sd) == 0
+            and block // (_FT * sd) >= 2)
+
+
+def _build_mats(taps: np.ndarray, stride: int, offset: int) -> np.ndarray:
+    """[Ar | Ai | Cr | Ci] (SD, 2S + 2*NSP_PAD) float32.
+
+    A[m, s] = taps[m - (offset + s*stride)] (the window of output s inside
+    its frame); C right-aligned: column (s - (S - NSP_PAD)) of C carries the
+    tap tail of output s, read from the NEXT frame."""
+    t = taps.shape[0]
+    s = _S
+    sd = s * stride
+    taps = np.asarray(taps, np.complex128)
+    a = np.zeros((sd, s), np.complex128)
+    c = np.zeros((sd, _NSP_PAD), np.complex128)
+    s_first = s - _NSP_PAD
+    for ss in range(s):
+        lo = offset + ss * stride
+        n_in = min(t, sd - lo)
+        a[lo:lo + n_in, ss] = taps[:n_in]
+        if n_in < t:
+            assert ss >= s_first, "spill wider than _NSP_PAD"
+            c[:t - n_in, ss - s_first] = taps[n_in:]
+    m = np.concatenate([a.real, a.imag, c.real, c.imag], axis=1)
+    return m.astype(np.float32)
+
+
+def _kernel(xr_hbm, xi_hbm, m_ref, yr_ref, yi_ref, xr_s, xi_s, hr_s, hi_s,
+            sems, *, ct: int, ft: int, sd: int, b_total: int, precision):
+    s = _S
+    ci = pl.program_id(0)
+    wi = pl.program_id(1)
+    n_ci = pl.num_programs(0)
+    n_wi = pl.num_programs(1)
+    step = ci * n_wi + wi
+
+    def start_dmas(slot, ci_, wi_):
+        main = pl.multiple_of(wi_ * (ft * sd), 128)
+        # Halo = the frame after the tile, clamped in-bounds for the final
+        # tile (it poisons only the discarded block-tail outputs).
+        halo = pl.multiple_of(jnp.minimum(main + ft * sd, b_total - sd), 128)
+        row = pl.multiple_of(ci_ * ct, 8)
+        for hbm, scr, hscr, k in ((xr_hbm, xr_s, hr_s, 0),
+                                  (xi_hbm, xi_s, hi_s, 2)):
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(row, ct), pl.ds(main, ft * sd)],
+                scr.at[slot], sems.at[slot, k]).start()
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(row, ct), pl.ds(halo, sd)],
+                hscr.at[slot], sems.at[slot, k + 1]).start()
+
+    def wait_dmas(slot):
+        for k in (0, 2):
+            pltpu.make_async_copy(xr_s.at[slot], xr_s.at[slot],
+                                  sems.at[slot, k]).wait()
+            pltpu.make_async_copy(hr_s.at[slot], hr_s.at[slot],
+                                  sems.at[slot, k + 1]).wait()
+
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        start_dmas(0, ci, wi)
+
+    @pl.when(step + 1 < n_ci * n_wi)
+    def _():
+        nxt_wrap = wi + 1 == n_wi
+        start_dmas(1 - slot,
+                   jnp.where(nxt_wrap, ci + 1, ci),
+                   jnp.where(nxt_wrap, 0, wi + 1))
+
+    wait_dmas(slot)
+    dn = (((1,), (0,)), ((), ()))
+    m32 = m_ref[:]
+    if precision in ("x3", "x1"):
+        m_hi = m32.astype(jnp.bfloat16)
+        m_lo = (m32 - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(x):
+        if precision == "x1":  # perf probe only: 1-pass bf16
+            return jax.lax.dot_general(
+                x.astype(jnp.bfloat16), m_hi, dn,
+                preferred_element_type=jnp.float32)
+        if precision == "x3":
+            # Manual 3-pass bf16 emulation of an f32 matmul (== XLA HIGH).
+            x_hi = x.astype(jnp.bfloat16)
+            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jax.lax.dot_general(x_hi, m_hi, dn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(x_hi, m_lo, dn,
+                                          preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(x_lo, m_hi, dn,
+                                          preferred_element_type=jnp.float32))
+        return jax.lax.dot_general(x, m32, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    # One (CT, SD) x (SD, 512) matmul per frame — pure lane slices, no
+    # reshapes.  ft+1 products: ft frames + the halo frame for spill.
+    p_r = [mm(xr_s[slot, :, f * sd:(f + 1) * sd]) for f in range(ft)]
+    p_i = [mm(xi_s[slot, :, f * sd:(f + 1) * sd]) for f in range(ft)]
+    p_r.append(mm(hr_s[slot]))
+    p_i.append(mm(hi_s[slot]))
+    for f in range(ft):
+        yr = p_r[f][:, :s] - p_i[f][:, s:2 * s]
+        yi = p_i[f][:, :s] + p_r[f][:, s:2 * s]
+        nr, ni = p_r[f + 1], p_i[f + 1]
+        # Spill group width == S: right-aligned add with no padding.
+        yr_ref[:, f * s:(f + 1) * s] = yr + (
+            nr[:, 2 * s:3 * s] - ni[:, 3 * s:])
+        yi_ref[:, f * s:(f + 1) * s] = yi + (
+            ni[:, 2 * s:3 * s] + nr[:, 3 * s:])
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
+def _fir_mxu_call(xr, xi, m, stride: int, interpret: bool = False):
+    c, b = xr.shape
+    sd = _S * stride
+    ct = min(c, _CT)
+    f_total = b // sd
+    grid = (c // ct, f_total // _FT)
+    n_out = f_total * _S
+    ncols = 2 * _S + 2 * _NSP_PAD
+    out = pl.pallas_call(
+        functools.partial(_kernel, ct=ct, ft=_FT, sd=sd, b_total=b,
+                          precision=_PRECISION),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((sd, ncols), lambda ci, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ct, _FT * _S), lambda ci, wi: (ci, wi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, _FT * _S), lambda ci, wi: (ci, wi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+                   jax.ShapeDtypeStruct((c, n_out), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
+            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
+            pltpu.VMEM((2, ct, sd), jnp.float32),
+            pltpu.VMEM((2, ct, sd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * c * (f_total + f_total // _FT) * sd * ncols,
+            bytes_accessed=4 * 2 * c * (b + n_out),
+            transcendentals=0),
+        interpret=interpret,
+    )(xr, xi, m)
+    return Complex(out[0], out[1])
+
+
+def fir_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
+            interpret: bool = False) -> Tuple[Complex, int]:
+    """All in-block FIR outputs (window start offset + j*stride) for a 2-D
+    planar-complex block via the fused MXU kernel.
+
+    Returns (y, nsp): y has (B // (S*stride)) * S outputs of which the final
+    ``nsp`` are invalid (they need next-block data) — identical contract to
+    ops.fir._fir_matmul."""
+    taps = np.asarray(taps)
+    m_np = _build_mats(taps, stride, offset)
+    y = _fir_mxu_call(x.re, x.im, jnp.asarray(m_np), stride,
+                      interpret=interpret)
+    return y, _NSP_PAD

@@ -52,3 +52,31 @@ def test_pallas_fir_streaming_carry(rng):
 def test_pallas_availability_gate():
     assert pallas_available(16, 8192, 4)
     assert not pallas_available(16, 8192, 0)
+
+
+def test_pallas_mxu_fir_matches_oracle(rng):
+    """The MXU block-Toeplitz kernel (pallas_fir_mxu) matches the direct
+    per-window oracle, including frame/tile boundaries and the spill path
+    (interpret mode on CPU)."""
+    from libsdr_tpu.ops.pallas_fir_mxu import (_FT, _S, fir_mxu,
+                                               mxu_fir_supported)
+
+    C, D, T, s0 = 8, 2, 37, 1
+    SD = _S * D
+    B = 2 * _FT * SD
+    assert mxu_fir_supported(T, D, s0, C, B)
+    x = (rng.normal(size=(C, B)) + 1j * rng.normal(size=(C, B))
+         ).astype(np.complex64)
+    g = (rng.normal(size=T) + 1j * rng.normal(size=T))
+    xb = cplx.as_block(x)
+    y, nsp = fir_mxu(xb, g, D, s0, interpret=True)
+    got = cplx.to_numpy(y)
+    n_valid = got.shape[-1] - nsp
+    xc = x.astype(np.complex128)
+    check = list(range(0, 40)) + [_S - 1, _S, _FT * _S - 1, _FT * _S,
+                                  n_valid - 1]
+    for j in check:
+        orc = np.array([np.dot(g, xc[c, s0 + j * D:s0 + j * D + T])
+                        for c in range(C)])
+        err = np.abs(got[:, j] - orc).max() / (np.abs(orc).max() + 1e-30)
+        assert err < 1e-4, (j, err)
