@@ -73,9 +73,17 @@ class Channelizer(Processor):
         if len(proto) != m * p:
             raise ConfigError(
                 f"Channelizer: prototype length {len(proto)} != M*P = {m * p}")
-        # h[k*M + p] -> taps[k, p]; unity-DC prototype + unscaled forward DFT
-        # synthesis gives unity channel passband gain.
-        self._taps = jnp.asarray(proto.reshape(p, m).astype(np.float32))
+        # h[k*M + p] -> taps[k, p].  The reverse commutator (branch q reads
+        # x[sM - q]) is folded ENTIRELY into host-side constants: lane
+        # reversal q -> -q mod M becomes column-reversed taps + a forward
+        # (instead of inverse) DFT, and branch 0's one-frame shift becomes
+        # an extra tap row — so the device never reverses or re-stacks the
+        # stream (negative-step lane slices are relayout copies on TPU).
+        taps = proto.reshape(p, m)
+        t3 = np.zeros((p + 1, m), np.float64)
+        t3[:p, 0] = taps[:, 0]          # branch 0: frames t+1 .. t+P
+        t3[1:, 1:] = taps[:, :0:-1]     # branch q' = M-q: frames t .. t+P-1
+        self._taps = jnp.asarray(t3.astype(np.float32))
         return in_spec.with_(
             channels=in_spec.channels + (m,),
             sample_rate=in_spec.sample_rate / m,
@@ -93,19 +101,17 @@ class Channelizer(Processor):
         t = x.shape[-1] // m
         frames = x.reshape(lead + (t, m))                   # raw frame t
         histf = cplx.concatenate([carry, frames], axis=-2)  # (.., t+P, M)
-        # Reverse-commutator frames: fr[s, 0] = histf[s+1, 0];
-        # fr[s, q>=1] = histf[s, M-q]  (i.e. x[sM - q] with s offset by P-1).
-        col0 = histf[..., 1:, :1]
-        rest = histf[..., :-1, :0:-1]                       # cols M-1..1
-        fr = cplx.concatenate([col0, rest], axis=-1)        # (.., t+P-1, M)
-        # u[t, q] = sum_k taps[k, q] * fr[t + P-1 - k, q]
+        # u'[t, q'] = sum_k' taps3[k', q'] * histf[t + P - k', q'] — the
+        # commutator-reversed branch signals on UNREVERSED lanes (the
+        # reversal lives in the taps3 column order, see _bind).
         acc = None
-        for k in range(p):
-            seg = fr[..., (p - 1 - k):(p - 1 - k) + t, :]
+        for k in range(p + 1):
+            seg = histf[..., (p - k):(p - k) + t, :]
             term = seg * self._taps[k]
             acc = term if acc is None else acc + term
-        # Channel synthesis: y_c = sum_q u_q e^{+2i pi q c/M} = M * IFFT_q(u).
-        y = fft(acc, inverse=True) * m                      # (..., t, M)
+        # Channel synthesis on reversed lanes: y_c = sum_q u_q e^{+2i pi qc/M}
+        # = sum_q' u'_{q'} e^{-2i pi q'c/M} = the (unscaled) FORWARD DFT.
+        y = fft(acc)                                        # (..., t, M)
         y = y.map(lambda a: jnp.swapaxes(a, -1, -2))        # (..., M, t)
         new_carry = histf[..., histf.shape[-2] - p:, :]
         return new_carry, y
