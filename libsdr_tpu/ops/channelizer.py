@@ -45,6 +45,22 @@ def prototype_lowpass(n_channels: int, taps_per_branch: int,
     return firdesign.lowpass(n, cutoff_scale * 0.5 / m, 1.0)
 
 
+def fold_commutator(proto: np.ndarray, m: int, p: int) -> np.ndarray:
+    """Fold the PFB reverse commutator into the tap matrix (see module
+    docstring): returns taps3 (P+1, M) such that
+
+        u'[t, q'] = sum_k taps3[k, q'] * histf[t + P - k, q']
+
+    on UNREVERSED frame lanes equals the commutated branch signals on
+    reversed lanes, and channel synthesis becomes the unscaled FORWARD DFT
+    over q'."""
+    taps = np.asarray(proto, np.float64).reshape(p, m)
+    t3 = np.zeros((p + 1, m), np.float64)
+    t3[:p, 0] = taps[:, 0]          # branch 0: frames t+1 .. t+P
+    t3[1:, 1:] = taps[:, :0:-1]     # branch q' = M-q: frames t .. t+P-1
+    return t3.astype(np.float32)
+
+
 class Channelizer(Processor):
     """Maximally-decimated uniform polyphase channelizer.
 
@@ -73,17 +89,13 @@ class Channelizer(Processor):
         if len(proto) != m * p:
             raise ConfigError(
                 f"Channelizer: prototype length {len(proto)} != M*P = {m * p}")
-        # h[k*M + p] -> taps[k, p].  The reverse commutator (branch q reads
-        # x[sM - q]) is folded ENTIRELY into host-side constants: lane
-        # reversal q -> -q mod M becomes column-reversed taps + a forward
-        # (instead of inverse) DFT, and branch 0's one-frame shift becomes
-        # an extra tap row — so the device never reverses or re-stacks the
-        # stream (negative-step lane slices are relayout copies on TPU).
-        taps = proto.reshape(p, m)
-        t3 = np.zeros((p + 1, m), np.float64)
-        t3[:p, 0] = taps[:, 0]          # branch 0: frames t+1 .. t+P
-        t3[1:, 1:] = taps[:, :0:-1]     # branch q' = M-q: frames t .. t+P-1
-        self._taps = jnp.asarray(t3.astype(np.float32))
+        # The reverse commutator (branch q reads x[sM - q]) is folded
+        # ENTIRELY into host-side constants: lane reversal q -> -q mod M
+        # becomes column-reversed taps + a forward (instead of inverse) DFT,
+        # and branch 0's one-frame shift becomes an extra tap row — so the
+        # device never reverses or re-stacks the stream (negative-step lane
+        # slices are relayout copies on TPU).
+        self._taps = jnp.asarray(fold_commutator(proto, m, p))
         return in_spec.with_(
             channels=in_spec.channels + (m,),
             sample_rate=in_spec.sample_rate / m,

@@ -26,28 +26,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from libsdr_tpu.core import cplx
 from libsdr_tpu.core.cplx import Complex
-from libsdr_tpu.ops.channelizer import prototype_lowpass
+from libsdr_tpu.ops.channelizer import fold_commutator, prototype_lowpass
 from libsdr_tpu.ops.fft import fft
 from libsdr_tpu.parallel.halo import _tree_where, last_shard_tail, pass_right
 
 
-def channelize_segment(x_local: Complex, hist: Complex, taps: jnp.ndarray,
+def channelize_segment(x_local: Complex, hist: Complex, taps3: jnp.ndarray,
                        m: int, p: int) -> Complex:
     """Channelizer body on a time segment given the P-frame history (same
-    math as ops/channelizer.py Channelizer.apply)."""
+    math as ops/channelizer.py Channelizer.apply: commutator folded into
+    ``taps3 = fold_commutator(...)`` + forward DFT)."""
     lead = x_local.shape[:-1]
     t = x_local.shape[-1] // m
     frames = x_local.reshape(lead + (t, m))
     histf = cplx.concatenate([hist, frames], axis=-2)
-    col0 = histf[..., 1:, :1]
-    rest = histf[..., :-1, :0:-1]
-    fr = cplx.concatenate([col0, rest], axis=-1)
     acc = None
-    for k in range(p):
-        seg = fr[..., (p - 1 - k):(p - 1 - k) + t, :]
-        term = seg * taps[k]
+    for k in range(p + 1):
+        seg = histf[..., (p - k):(p - k) + t, :]
+        term = seg * taps3[k]
         acc = term if acc is None else acc + term
-    y = fft(acc, inverse=True) * m
+    y = fft(acc)
     return y.map(lambda a: jnp.swapaxes(a, -1, -2))  # (..., M, t)
 
 
@@ -66,41 +64,49 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
     if m % n:
         raise ValueError("channels must divide by n_devices")
     proto = prototype_lowpass(m, p)
-    taps = jnp.asarray(proto.reshape(p, m).astype(np.float32))
+    taps = jnp.asarray(fold_commutator(proto, m, p))
 
     def step_local(carry, x_local):
         hist_global, prev_local = carry
-        idx = jax.lax.axis_index(axis)
         # --- stage 1: time-sharded channelizer with frame halo ------------
         t_seg = x_local.shape[-1] // m
         frames_local = x_local.reshape((t_seg, m))
         tail_frames = frames_local[t_seg - p:, :]
-        halo = pass_right(tail_frames, axis)
-        hist = _tree_where(idx == 0, hist_global, halo)
+        if n == 1:
+            # Collectives on a 1-device mesh are identities, but this
+            # backend lowers them (ppermute/all_to_all inside shard_map) to
+            # paths ~6x slower than the op itself — skip them statically.
+            hist = hist_global
+            new_hist = tail_frames
+        else:
+            idx = jax.lax.axis_index(axis)
+            halo = pass_right(tail_frames, axis)
+            hist = _tree_where(idx == 0, hist_global, halo)
+            new_hist = last_shard_tail(tail_frames, axis)
         y = channelize_segment(x_local, hist, taps, m, p)   # (M, t_seg)
-        new_hist = last_shard_tail(tail_frames, axis)
         # --- stage 2: reshard channels <-> time (one all_to_all) ----------
-        def a2a(a):
-            return jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1,
-                                      tiled=True)
-        yc = y.map(a2a)                                     # (M/n, t_full)
+        if n > 1:
+            def a2a(a):
+                return jax.lax.all_to_all(a, axis, split_axis=0,
+                                          concat_axis=1, tiled=True)
+            y = y.map(a2a)                                  # (M/n, t_full)
+        yc = y
         # --- stage 3: channel-sharded FM demod -----------------------------
         shifted = cplx.concatenate([prev_local[..., None], yc[..., :-1]],
                                    axis=-1)
         audio = (yc * shifted.conj()).angle()
         new_prev = yc[..., -1]
-        return (new_hist, prev_struct(new_prev)), audio
+        return (new_hist, new_prev), audio
 
-    def prev_struct(x):
-        return x
-
-    step_sharded = jax.shard_map(
-        step_local, mesh=mesh,
-        in_specs=((P(), P(axis)), P(axis)),
-        out_specs=((P(), P(axis)), P(axis, None)),
-        check_vma=False,
-    )
-    step = jax.jit(step_sharded)
+    if n == 1:
+        step = jax.jit(step_local)
+    else:
+        step = jax.jit(jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=((P(), P(axis)), P(axis)),
+            out_specs=((P(), P(axis)), P(axis, None)),
+            check_vma=False,
+        ))
 
     def init_carry():
         hist = jax.device_put(cplx.zeros((p, m)),

@@ -64,7 +64,16 @@ def main() -> None:
     base = results[1]["ms_per_step"]
     for n, r in results.items():
         r["weak_scaling_efficiency"] = round(base / r["ms_per_step"], 3)
-    print(json.dumps({"wideband_weak_scaling": results}, indent=2))
+    out = {"wideband_weak_scaling": results,
+           "backend": jax.default_backend(),
+           "note": ("virtual CPU devices share one host's cores, so "
+                    "compute does NOT scale with n here — this run "
+                    "validates the sharded program + collective structure; "
+                    "the >=0.9 weak-scaling target is meaningful only on "
+                    "real multi-chip ICI"
+                    if jax.default_backend() == "cpu" else
+                    "real accelerator mesh")}
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
