@@ -64,15 +64,22 @@ def _twiddle(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
             np.ascontiguousarray(w.imag.astype(np.float32)))
 
 
+# HIGHEST (bf16x6): 1.3e-7 matmul error vs 1.7e-5 for HIGH on this backend.
+# The FFT feeds spectral multiplies (filter banks), so keep full accuracy;
+# measured end-to-end difference is within this machine's timing noise.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _cmatmul(x: Complex, mr: jnp.ndarray, mi: jnp.ndarray) -> Complex:
     """(..., j) complex times (j, k) complex matrix -> (..., k), via 3 real
     matmuls (Karatsuba)."""
-    dot = lambda a, b: jnp.matmul(  # noqa: E731
-        a, b, precision=jax.lax.Precision.HIGHEST)
+    dot = lambda a, b: jnp.matmul(a, b, precision=_PRECISION)  # noqa: E731
     ac = dot(x.re, mr)
     bd = dot(x.im, mi)
     abcd = dot(x.re + x.im, mr + mi)
     return Complex(ac - bd, abcd - ac - bd)
+
+
 
 
 def _fft_nested(x: Complex) -> Complex:
@@ -90,6 +97,9 @@ def _fft_nested(x: Complex) -> Complex:
     # x[j1 + n1*j2] -> A[j2, j1]
     a = x.reshape(lead + (n2, n1))
     # inner DFT over j2 (axis -2): move to last, transform, move back
+    # (an einsum contracting axis -2 in place was tried and is NOT faster —
+    # XLA inserts the same transpose — and its precision= is not honored on
+    # this backend, degrading to 1-pass bf16).
     b = _fft_nested(a.map(lambda t: jnp.swapaxes(t, -1, -2)))
     # b axes: (..., j1, k2); twiddle W_n^(j1*k2) has axes (k2, j1) -> transpose
     tr, ti = _twiddle(n1, n2)
