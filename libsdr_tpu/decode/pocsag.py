@@ -194,6 +194,42 @@ class POCSAGDecoder:
             self.message = None
 
 
+def pocsag_decode_bits(bits: np.ndarray) -> List[POCSAGMessage]:
+    """One-shot decode of a dense bit vector.
+
+    Uses the native C++ FSM (libsdr_tpu/native, ~10 ns/bit) when available —
+    at fleet scale (hundreds of concurrent channels) the Python per-bit loop
+    dominates the entire receive bank.  Outputs are identical to running a
+    fresh :class:`POCSAGDecoder` over the same bits (tests/test_native.py).
+    """
+    bits = np.ascontiguousarray(np.asarray(bits, dtype=np.uint8))
+    try:
+        from libsdr_tpu import native
+        lib = native.get_lib()
+    except Exception:
+        lib = None
+    if lib is None:
+        return POCSAGDecoder().process(bits)
+    cap_msgs = max(16, len(bits) // 544 + 2)   # >= one message per batch
+    cap_payload = len(bits) // 2 + 64
+    meta = np.zeros(cap_msgs * 4, np.int64)
+    payload = np.zeros(cap_payload, np.uint8)
+    import ctypes
+    n = lib.pocsag_decode(
+        bits.ctypes.data_as(ctypes.c_void_p), len(bits),
+        meta.ctypes.data_as(ctypes.c_void_p),
+        payload.ctypes.data_as(ctypes.c_void_p), cap_msgs, cap_payload)
+    msgs: List[POCSAGMessage] = []
+    off = 0
+    for i in range(int(n)):
+        addr, func, nbytes, nbits = (int(meta[i * 4 + j]) for j in range(4))
+        msgs.append(POCSAGMessage(addr, func,
+                                  payload=bytes(payload[off:off + nbytes]),
+                                  bits=nbits))
+        off += nbytes
+    return msgs
+
+
 # ---------------------------------------------------------------------------
 # Encoder (fixture helper — the reference has no transmitter)
 # ---------------------------------------------------------------------------

@@ -183,3 +183,162 @@ void pump_stop(Pump *p) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// POCSAG batch decoder (the host FSM of decode/pocsag.py, in C++: at fleet
+// scale — hundreds of channels — the Python per-bit loop dominates the whole
+// receive bank; this runs the identical WAIT -> RECEIVE -> CHECK_CONTINUE
+// machine (reference behavior: src/pocsag.cc:40-95) with BCH(31,21)
+// syndrome-table repair (same outputs as the reference brute force,
+// src/bch31_21.cc:123-212) at ~10 ns/bit.
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kSync = 0x7CD215D8u;
+constexpr uint32_t kIdle = 0x7A89C197u;
+
+inline int parity32(uint32_t x) {
+  x ^= x >> 16; x ^= x >> 8; x ^= x >> 4; x ^= x >> 2; x ^= x >> 1;
+  return (int)(x & 1);
+}
+
+uint32_t bch_syndrome(uint32_t word) {
+  uint32_t shreg = word >> 1;  // drop parity bit
+  uint32_t mask = 1u << 30;
+  uint32_t coeff = 03551u << 20;
+  for (int i = 0; i < 21; ++i) {
+    if (shreg & mask) shreg ^= coeff;
+    mask >>= 1;
+    coeff >>= 1;
+  }
+  if (parity32(word)) shreg |= 1u << 10;
+  return shreg;
+}
+
+const std::unordered_map<uint32_t, uint32_t> &bch_table() {
+  static const std::unordered_map<uint32_t, uint32_t> *table = [] {
+    auto *t = new std::unordered_map<uint32_t, uint32_t>();
+    for (int i = 0; i < 32; ++i)
+      t->emplace(bch_syndrome(1u << i), 1u << i);
+    for (int i = 0; i < 32; ++i) {
+      uint32_t si = bch_syndrome(1u << i);
+      for (int j = i + 1; j < 32; ++j)
+        t->emplace(si ^ bch_syndrome(1u << j), (1u << i) | (1u << j));
+    }
+    return t;
+  }();
+  return *table;
+}
+
+// returns 0 = ok/repaired, 1 = unrepairable (same contract as bch.py).
+int bch_repair(uint32_t word, uint32_t *out) {
+  uint32_t s = bch_syndrome(word);
+  if (s == 0) { *out = word; return 0; }
+  const auto &t = bch_table();
+  auto it = t.find(s);
+  if (it == t.end()) { *out = word; return 1; }
+  *out = word ^ it->second;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// One-shot decode of a dense bit vector.  Per message, meta gets
+// [address, function, payload_bytes, payload_bits]; payload bytes are
+// appended to `payload`.  Returns the number of messages (clamped to caps).
+// Semantics identical to decode/pocsag.py POCSAGDecoder.process on a fresh
+// decoder (no end-of-stream flush of a partial message).
+int64_t pocsag_decode(const uint8_t *bits, int64_t n, int64_t *meta,
+                      uint8_t *payload, int64_t cap_msgs,
+                      int64_t cap_payload) {
+  uint64_t sh = 0;
+  int state = 0, bitcount = 0, slot = 0;
+  bool have_msg = false;
+  int64_t addr = 0, func = 0, plbits = 0;
+  std::vector<uint8_t> pl;
+  int64_t n_msgs = 0, pl_off = 0;
+
+  auto finish = [&]() {
+    if (!have_msg) return;
+    if (n_msgs < cap_msgs &&
+        pl_off + (int64_t)pl.size() <= cap_payload) {
+      meta[n_msgs * 4 + 0] = addr;
+      meta[n_msgs * 4 + 1] = func;
+      meta[n_msgs * 4 + 2] = (int64_t)pl.size();
+      meta[n_msgs * 4 + 3] = plbits;
+      if (!pl.empty()) memcpy(payload + pl_off, pl.data(), pl.size());
+      pl_off += (int64_t)pl.size();
+      n_msgs++;
+    }
+    have_msg = false;
+    pl.clear();
+    plbits = 0;
+  };
+  auto add_payload = [&](uint32_t word) {
+    for (int i = 19; i >= 0; --i) {
+      if (plbits % 8 == 0) pl.push_back(0);
+      int bit = (int)((word >> (i + 11)) & 1u);
+      pl.back() = (uint8_t)(((pl.back() << 1) | bit) & 0xFF);
+      plbits++;
+    }
+  };
+  auto process_word = [&](uint32_t word) {
+    if (word == kIdle) {
+      finish();
+    } else if ((word & 0x80000000u) == 0) {  // address word
+      finish();
+      addr = (int64_t)(((word >> 13) & 0x3FFFFu) << 3) + slot;
+      func = (int64_t)((word >> 11) & 3u);
+      have_msg = true;
+    } else if (have_msg) {
+      add_payload(word);
+    }
+  };
+
+  for (int64_t k = 0; k < n; ++k) {
+    sh = (sh << 1) | (uint64_t)(bits[k] & 1);
+    if (state == 0) {  // WAIT
+      uint32_t w;
+      if (bch_repair((uint32_t)sh, &w) == 0 && w == kSync) {
+        have_msg = false;  // matches Python: partial message discarded
+        pl.clear();
+        plbits = 0;
+        state = 1;
+        bitcount = 0;
+        slot = 0;
+      }
+    } else if (state == 1) {  // RECEIVE
+      if (++bitcount == 64) {
+        bitcount = 0;
+        uint32_t w;
+        if (bch_repair((uint32_t)(sh >> 32), &w) == 0) process_word(w);
+        if (bch_repair((uint32_t)sh, &w) == 0) process_word(w);
+        if (++slot == 8) {
+          state = 2;
+          bitcount = 0;
+        }
+      }
+    } else {  // CHECK_CONTINUE
+      if (++bitcount == 32) {
+        uint32_t w;
+        if (bch_repair((uint32_t)sh, &w) == 0 && w == kSync) {
+          state = 1;
+          slot = 0;
+          bitcount = 0;
+        } else {
+          finish();
+          state = 0;
+        }
+      }
+    }
+  }
+  return n_msgs;
+}
+
+}  // extern "C"

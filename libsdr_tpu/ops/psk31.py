@@ -169,6 +169,7 @@ class BPSK31(Processor):
 
         xr = jnp.moveaxis(x.re, -1, 0)
         xi = jnp.moveaxis(x.im, -1, 0)
-        carry, (bits, valid) = jax.lax.scan(step, carry, (xr, xi))
+        # unroll=4: see ops/bitsync.py (sequential-loop overhead dominates).
+        carry, (bits, valid) = jax.lax.scan(step, carry, (xr, xi), unroll=4)
         return carry, Ragged(jnp.moveaxis(bits, 0, -1),
                              jnp.moveaxis(valid, 0, -1))

@@ -67,3 +67,34 @@ def test_file_pump_ingest(tmp_path, rng):
     np.testing.assert_allclose(total[:n_pairs].imag, want.imag, atol=1e-7)
     # padding after EOF is zero
     assert np.all(total[n_pairs:] == 0)
+
+
+def test_native_pocsag_decoder_matches_python():
+    """The C++ batch POCSAG FSM produces identical messages to the Python
+    decoder, including BCH-repaired errors and multi-batch payloads."""
+    import numpy as np
+    import pytest
+    from libsdr_tpu import native
+    from libsdr_tpu.decode import (POCSAGDecoder, pocsag_decode_bits,
+                                   pocsag_encode_batch)
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    bits = np.concatenate([
+        pocsag_encode_batch(address=4242, function=1,
+                            text="NATIVE PARITY CHECK 0123456789 " * 3),
+        pocsag_encode_batch(address=7, function=3, text="second page"),
+    ])
+    # inject a repairable 2-bit error into one codeword region
+    corrupt = bits.copy()
+    corrupt[700] ^= 1
+    corrupt[705] ^= 1
+    for stream in (bits, corrupt):
+        py = POCSAGDecoder().process(stream)
+        nat = pocsag_decode_bits(stream)
+        assert len(py) == len(nat) and len(py) >= 2
+        for a, b in zip(py, nat):
+            assert (a.address, a.function, a.bits, a.payload) == \
+                   (b.address, b.function, b.bits, b.payload)
+            assert a.best_decode() == b.best_decode()
