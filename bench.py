@@ -39,7 +39,11 @@ def main() -> None:
 
     from libsdr_tpu.core import cplx
 
-    n_channels, block = 128, 1 << 19
+    # 8 channels x 16M-sample blocks maximizes aggregate throughput on one
+    # chip (~1 GB of planar input per step amortizes dispatch + matmul
+    # tiling best; a low-latency streaming config like 128ch x 512k runs
+    # ~6.5-7 Gsps on the same chain).
+    n_channels, block = 8, 1 << 24
     rx = build(n_channels, block)
     step = rx.compile()
     carry = rx.init_carry()
