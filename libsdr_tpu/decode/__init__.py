@@ -11,7 +11,8 @@ from libsdr_tpu.decode.bch import bch_encode, bch_repair, bch_syndrome
 from libsdr_tpu.decode.pocsag import (POCSAGDecoder, POCSAGMessage,
                                        pocsag_decode_bits,
                                        pocsag_encode_batch)
-from libsdr_tpu.decode.ax25 import AX25Decoder, AX25Message, ax25_frame_bits
+from libsdr_tpu.decode.ax25 import (AX25Decoder, AX25Message,
+                                     ax25_decode_bits, ax25_frame_bits)
 from libsdr_tpu.decode.aprs import APRSMessage, parse_aprs
 from libsdr_tpu.decode.baudot import BaudotDecoder, baudot_encode_bits
 from libsdr_tpu.decode.varicode import VaricodeDecoder, varicode_encode_bits
@@ -20,7 +21,7 @@ __all__ = [
     "bch_encode", "bch_repair", "bch_syndrome",
     "POCSAGDecoder", "POCSAGMessage", "pocsag_decode_bits",
     "pocsag_encode_batch",
-    "AX25Decoder", "AX25Message", "ax25_frame_bits",
+    "AX25Decoder", "AX25Message", "ax25_decode_bits", "ax25_frame_bits",
     "APRSMessage", "parse_aprs",
     "BaudotDecoder", "baudot_encode_bits",
     "VaricodeDecoder", "varicode_encode_bits",

@@ -137,6 +137,37 @@ class AX25Decoder:
         return self.messages[new_before:]
 
 
+def ax25_decode_bits(bits: np.ndarray) -> List[AX25Message]:
+    """One-shot deframe of a dense bit vector.
+
+    Uses the native C++ HDLC FSM (libsdr_tpu/native) when available — at
+    fleet scale the Python per-bit loop dominates the receive bank.  Frames
+    are identical to a fresh :class:`AX25Decoder` run (tests/test_native.py).
+    """
+    bits = np.ascontiguousarray(np.asarray(bits, dtype=np.uint8))
+    try:
+        from libsdr_tpu import native
+        lib = native.get_lib()
+    except Exception:
+        lib = None
+    if lib is None:
+        return AX25Decoder().process(bits)
+    import ctypes
+    cap_frames = max(8, len(bits) // 64)
+    cap_bytes = len(bits) // 8 + 64
+    meta = np.zeros(cap_frames * 2, np.int64)
+    frames = np.zeros(cap_bytes, np.uint8)
+    n = lib.ax25_decode(
+        bits.ctypes.data_as(ctypes.c_void_p), len(bits),
+        meta.ctypes.data_as(ctypes.c_void_p),
+        frames.ctypes.data_as(ctypes.c_void_p), cap_frames, cap_bytes)
+    msgs: List[AX25Message] = []
+    for i in range(int(n)):
+        off, length = int(meta[i * 2]), int(meta[i * 2 + 1])
+        msgs.append(AX25Message.from_frame(bytes(frames[off:off + length])))
+    return msgs
+
+
 # ---------------------------------------------------------------------------
 # Encoder (fixture helper — the reference has no transmitter)
 # ---------------------------------------------------------------------------

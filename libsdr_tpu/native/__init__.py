@@ -69,6 +69,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pump_stop.argtypes = [c_p]
     lib.pocsag_decode.argtypes = [c_p, c_i64, c_p, c_p, c_i64, c_i64]
     lib.pocsag_decode.restype = c_i64
+    lib.ax25_decode.argtypes = [c_p, c_i64, c_p, c_p, c_i64, c_i64]
+    lib.ax25_decode.restype = c_i64
     _lib = lib
     return _lib
 

@@ -342,3 +342,96 @@ int64_t pocsag_decode(const uint8_t *bits, int64_t n, int64_t *meta,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// AX.25 / HDLC batch deframer (the host FSM of decode/ax25.py in C++, for
+// fleet-scale channel counts; reference behavior: src/ax25.cc:100-161).
+// Emits raw CRC-valid frames (FCS stripped); address/payload parsing stays
+// in Python.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+uint16_t crc_ccitt_tab(int i) {
+  static uint16_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int byte = 0; byte < 256; ++byte) {
+      uint16_t crc = (uint16_t)byte;
+      for (int k = 0; k < 8; ++k)
+        crc = (crc & 1) ? (uint16_t)((crc >> 1) ^ 0x8408) : (uint16_t)(crc >> 1);
+      table[byte] = crc;
+    }
+    init = true;
+  }
+  return table[i];
+}
+
+bool crc_ok(const uint8_t *frame, int64_t n) {
+  uint16_t crc = 0xFFFF;
+  for (int64_t i = 0; i < n; ++i)
+    crc = (uint16_t)((crc >> 8) ^ crc_ccitt_tab((crc ^ frame[i]) & 0xFF));
+  return crc == 0xF0B8;  // HDLC "good" residual (reference: src/ax25.cc:45-52)
+}
+
+}  // namespace
+
+extern "C" {
+
+// One-shot deframe of a dense bit vector.  Per frame, meta gets
+// [byte_offset_into_frames, length]; frame bytes (FCS stripped) are
+// appended to `frames`.  Returns the frame count (clamped to caps).
+// Semantics identical to decode/ax25.py AX25Decoder.process on a fresh
+// decoder.
+int64_t ax25_decode(const uint8_t *bits, int64_t n, int64_t *meta,
+                    uint8_t *frames, int64_t cap_frames,
+                    int64_t cap_bytes) {
+  constexpr int kMaxFrame = 512;  // reference: src/ax25.cc:144
+  uint32_t bitstream = 0;
+  uint32_t bitbuffer = 0x80;
+  int state = 0;
+  std::vector<uint8_t> rx;
+  rx.reserve(kMaxFrame);
+  int64_t n_frames = 0, off = 0;
+
+  for (int64_t k = 0; k < n; ++k) {
+    bitstream = ((bitstream << 1) | (uint32_t)(bits[k] & 1));
+    if ((bitstream & 0xFF) == 0x7E) {  // flag
+      if (state == 1 && (int64_t)rx.size() > 2 &&
+          crc_ok(rx.data(), (int64_t)rx.size())) {
+        int64_t len = (int64_t)rx.size() - 2;  // strip FCS
+        if (n_frames < cap_frames && off + len <= cap_bytes) {
+          meta[n_frames * 2 + 0] = off;
+          meta[n_frames * 2 + 1] = len;
+          memcpy(frames + off, rx.data(), (size_t)len);
+          off += len;
+          n_frames++;
+        }
+      }
+      state = 1;
+      rx.clear();
+      bitbuffer = 0x80;
+      continue;
+    }
+    if ((bitstream & 0x7F) == 0x7F) {  // abort: seven ones
+      state = 0;
+      continue;
+    }
+    if (!state) continue;
+    if ((bitstream & 0x3F) == 0x3E) continue;  // stuffed bit
+    bitbuffer |= (bitstream & 0x01u) << 8;
+    if (bitbuffer & 0x01u) {  // 8 bits assembled
+      if ((int64_t)rx.size() >= kMaxFrame) {
+        state = 0;
+        continue;
+      }
+      rx.push_back((uint8_t)((bitbuffer >> 1) & 0xFF));
+      bitbuffer = 0x80;
+      continue;
+    }
+    bitbuffer >>= 1;
+  }
+  return n_frames;
+}
+
+}  // extern "C"

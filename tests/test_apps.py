@@ -176,3 +176,33 @@ def test_psk31_rx_cli(tmp_path):
     write_wav_iq(str(cap), 0.8 * sig, fs)
     got = psk31_rx.main(["--file", str(cap), "--block-size", "2000"])
     assert text in got
+
+
+def test_wideband_scanner(tmp_path):
+    """Channelizer -> FM -> bit-sync -> POCSAG across a whole band: pages on
+    three different channels of one wideband capture all decode, mapped to
+    the right channel indices."""
+    from libsdr_tpu.apps import scanner
+
+    m = 16
+    ch_bw = 25_000.0
+    fs = m * ch_bw  # 400 kHz wideband
+    pages = {2: ("CHANNEL TWO", 222), 7: ("CHANNEL SEVEN", 777),
+             13: ("UNLUCKY", 1313)}
+    n = int(fs * 1.2)
+    wide = np.zeros(n, np.complex64)
+    t = np.arange(n) / fs
+    for ch, (text, addr) in pages.items():
+        narrow = _pocsag_iq(ch_bw, text=text, address=addr)
+        up = np.zeros(n, np.complex64)
+        # upsample-by-hold to the wideband rate, shift to the channel center
+        idx = np.minimum((np.arange(n) / m).astype(np.int64), len(narrow) - 1)
+        up = narrow[idx]
+        f_c = ch * fs / m if ch <= m // 2 else (ch * fs / m) - fs
+        wide += (0.5 * up * np.exp(2j * np.pi * f_c * t)).astype(np.complex64)
+
+    found = scanner.scan(wide, fs, m, block=int(fs * 0.6) // (m * 16) * m * 16)
+    for ch, (text, addr) in pages.items():
+        assert ch in found, (ch, sorted(found))
+        assert found[ch][0].address == addr
+        assert found[ch][0].as_text().startswith(text)

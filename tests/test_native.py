@@ -98,3 +98,39 @@ def test_native_pocsag_decoder_matches_python():
             assert (a.address, a.function, a.bits, a.payload) == \
                    (b.address, b.function, b.bits, b.payload)
             assert a.best_decode() == b.best_decode()
+
+
+def test_native_ax25_deframer_matches_python():
+    """The C++ HDLC deframer produces identical frames to the Python
+    decoder, including bit-stuffing, aborts, and CRC rejection."""
+    import numpy as np
+    import pytest
+    from libsdr_tpu import native
+    from libsdr_tpu.decode import (AX25Decoder, ax25_decode_bits,
+                                   ax25_frame_bits)
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    stream = np.concatenate([
+        (rng.random(200) > 0.5).astype(np.uint8),      # noise before lock
+        ax25_frame_bits("N0CALL", "APRS", b"!4903.50N/07201.75W-x", n_flags=8),
+        np.ones(9, np.uint8),                          # abort (7+ ones)
+        ax25_frame_bits("K1ABC", "WIDE2", b"\x7e\x7d stuffing \xff" * 5,
+                        via=["WIDE1"], n_flags=6),
+        (rng.random(64) > 0.5).astype(np.uint8),
+    ])
+    # corrupt a copy mid-frame: CRC must reject identically in both
+    bad = stream.copy()
+    bad[260] ^= 1
+    for bits in (stream, bad):
+        py = AX25Decoder()
+        py.process(bits)
+        nat = ax25_decode_bits(bits)
+        assert len(py.messages) == len(nat)
+        for a, b in zip(py.messages, nat):
+            assert (str(a.frm), str(a.to), a.payload,
+                    [str(v) for v in a.via]) == \
+                   (str(b.frm), str(b.to), b.payload,
+                    [str(v) for v in b.via])
+    assert len(AX25Decoder().process(stream)) == 2
