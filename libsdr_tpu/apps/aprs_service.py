@@ -66,6 +66,24 @@ def make_handler(store: APRSStore):
             self.end_headers()
             self.wfile.write(body)
 
+        def do_POST(self):  # noqa: N802
+            # /update: push a spot from an external source (the reference's
+            # DelegateJSONHandler REST push, cmd/aprsapplication.cc:43-60).
+            if self.path != "/update":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                spot = json.loads(self.rfile.read(n))
+                assert isinstance(spot, dict)
+            except Exception:
+                self.send_error(400)
+                return
+            with store._lock:
+                store._spots.append(spot)
+            self.send_response(204)
+            self.end_headers()
+
         def log_message(self, *a):  # quiet
             pass
 

@@ -7,7 +7,7 @@ IQ capture -> IQBaseBand -> FM demod -> ASK detector -> bit-sync PLL (TPU)
 from __future__ import annotations
 
 from libsdr_tpu.apps.chains import pocsag_front_end, run_bit_chain
-from libsdr_tpu.decode import POCSAGDecoder
+from libsdr_tpu.decode import pocsag_decode_bits
 from libsdr_tpu.utils import logging as sdrlog
 from libsdr_tpu.utils.options import add_source_args, common_parser, load_source
 
@@ -26,8 +26,7 @@ def main(argv=None):
                           baud=args.baud)
     print(fe.describe())
     bits = run_bit_chain(fe, iq)
-    dec = POCSAGDecoder()
-    msgs = dec.process(bits)
+    msgs = pocsag_decode_bits(bits)  # native C++ FSM when available
     # Print like POCSAGDump (reference: src/pocsag.cc:157-173).
     for m in msgs:
         kind = ("alert" if m.bits == 0 else

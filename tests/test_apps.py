@@ -153,8 +153,19 @@ def test_aprs_service(tmp_path):
     port = httpd.server_address[1]
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/spots") as r:
         data = json.loads(r.read())
-    httpd.shutdown()
     assert data == spots
+
+    # /update push (the reference's REST push, cmd/aprsapplication.cc:43-60)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/update", method="POST",
+        data=json.dumps({"from": "EXT-1", "comment": "pushed"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/spots") as r:
+        data = json.loads(r.read())
+    httpd.shutdown()
+    assert data[-1]["from"] == "EXT-1"
 
 
 def test_psk31_rx_cli(tmp_path):
