@@ -75,6 +75,40 @@ def write_wav_iq(path: str, iq: np.ndarray, rate: int) -> None:
     write_wav(path, np.stack([iq.real, iq.imag]), rate)
 
 
+class WavWriter:
+    """Streaming WAV sink: append blocks as they are produced, header
+    finalized on :meth:`close` (reference: src/wavfile.hh:81-105 WavSink,
+    whose RIFF sizes are back-patched on close).  Context-manager friendly.
+    """
+
+    def __init__(self, path: str, rate: int, channels: int = 1):
+        self._w = wave.open(path, "wb")
+        self._w.setnchannels(channels)
+        self._w.setsampwidth(2)
+        self._w.setframerate(int(rate))
+        self._channels = channels
+
+    def write(self, samples: np.ndarray) -> None:
+        """Append a block (float [-1,1) or int16; (n,) mono or (ch, n))."""
+        samples = np.asarray(samples)
+        if samples.ndim == 2:
+            samples = samples.T.reshape(-1)  # interleave channels
+        if samples.dtype != np.int16:
+            samples = np.clip(np.asarray(samples, np.float32), -1.0,
+                              32767.0 / 32768.0)
+            samples = np.round(samples * 32768.0).astype(np.int16)
+        self._w.writeframes(samples.tobytes())
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_raw_iq(path: str, dtype=np.uint8) -> np.ndarray:
     """Read raw interleaved IQ (e.g. rtl_sdr captures: u8 I,Q pairs,
     the wire format of the reference's RTLSource, src/rtlsource.cc:141-145)."""

@@ -235,3 +235,20 @@ def test_fuse_nco_into_fm_demod(rng):
     assert len(p3.stages) == 1 and isinstance(p3.stages[0], AMDemod)
     _, y_ref = run([FreqShift(700.0), AMDemod()], False)
     np.testing.assert_allclose(y_fused, y_ref, atol=1e-4)
+
+
+def test_streaming_wav_writer(tmp_path):
+    """Block-at-a-time WAV writing matches one-shot write (the reference's
+    WavSink close-finalized header contract, src/wavfile.hh:81-105)."""
+    from libsdr_tpu.io import WavWriter, read_wav, write_wav
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=10_000) * 0.1).astype(np.float32)
+    p1, p2 = tmp_path / "stream.wav", tmp_path / "oneshot.wav"
+    with WavWriter(str(p1), rate=8000) as w:
+        for i in range(0, len(x), 1024):
+            w.write(x[i:i + 1024])
+    write_wav(str(p2), x, 8000)
+    a, ra = read_wav(str(p1))
+    b, rb = read_wav(str(p2))
+    assert ra == rb == 8000
+    np.testing.assert_array_equal(a, b)
