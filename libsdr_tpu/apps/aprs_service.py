@@ -44,6 +44,11 @@ class APRSStore:
         with self._lock:
             self._spots.append(spot)
 
+    def add_spot(self, spot: dict) -> None:
+        """Append an externally-pushed spot (the REST /update path)."""
+        with self._lock:
+            self._spots.append(spot)
+
     def spots(self) -> List[dict]:
         with self._lock:
             return list(self._spots)
@@ -74,13 +79,21 @@ def make_handler(store: APRSStore):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self.send_error(400)
+                return
+            if not (0 < n <= 1 << 20):  # bound attacker-controlled reads
+                self.send_error(413 if n > 1 << 20 else 400)
+                return
+            try:
                 spot = json.loads(self.rfile.read(n))
-                assert isinstance(spot, dict)
             except Exception:
                 self.send_error(400)
                 return
-            with store._lock:
-                store._spots.append(spot)
+            if not isinstance(spot, dict):
+                self.send_error(400)
+                return
+            store.add_spot(spot)
             self.send_response(204)
             self.end_headers()
 

@@ -45,7 +45,7 @@ def scan(iq: np.ndarray, fs: float, n_channels: int, block: int = None,
     m = n_channels
     if block is None:
         block = int(fs // 2)
-    block -= block % (m * 16) or 0
+    block -= block % (m * 16)
     if block <= 0:
         raise SystemExit("block too small for the channel count")
     p = scanner_pipeline(fs, block, m, baud)

@@ -35,6 +35,16 @@ def fuse_stages(stages: List) -> List:
     from libsdr_tpu.ops.demod import AMDemod, FMDemod
     from libsdr_tpu.ops.nco import FreqShift
 
+    # Fusion state lives on the stage instances; reset it first so that
+    # re-binding, or reusing a stage object in a different pipeline, never
+    # inherits stale rotations/flags from an earlier fusion decision.
+    for st in stages:
+        if isinstance(st, FMDemod):
+            st._pending_rot_freqs = []
+            st._rot = None
+        if isinstance(st, IQBaseBand):
+            st.fold_nco = False
+
     out: List = []
     i = 0
     while i < len(stages):
@@ -54,7 +64,6 @@ def fuse_stages(stages: List) -> List:
             i += 1  # |x| is rotation-invariant: drop outright
             continue
         if (isinstance(st, IQBaseBand) and st.fc != 0.0
-                and not st.fold_nco  # idempotent under re-binding
                 and (_demod_takes_rot(nxt) or isinstance(nxt, AMDemod))):
             st.fold_nco = True
             if _demod_takes_rot(nxt):

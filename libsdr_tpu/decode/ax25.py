@@ -109,7 +109,11 @@ class AX25Decoder:
         for b in np.asarray(bits).astype(np.uint8):
             self.bitstream = ((self.bitstream << 1) | int(b & 1)) & 0xFFFFFFFF
             if (self.bitstream & 0xFF) == 0x7E:  # flag
-                if self.state == 1 and len(self.rxbuffer) > 2:
+                # A parseable frame needs two 7-byte addresses + FCS; random
+                # noise segments pass CRC with probability ~2^-16, so short
+                # "frames" must be skipped, not parsed (they would crash the
+                # address unpack).
+                if self.state == 1 and len(self.rxbuffer) >= 16:
                     if check_crc_ccitt(bytes(self.rxbuffer)):
                         frame = bytes(self.rxbuffer[:-2])
                         self.frames.append(frame)
@@ -153,7 +157,9 @@ def ax25_decode_bits(bits: np.ndarray) -> List[AX25Message]:
     if lib is None:
         return AX25Decoder().process(bits)
     import ctypes
-    cap_frames = max(8, len(bits) // 64)
+    # True upper bounds (a CRC-valid frame is >= 3 bytes ~ 32 bits incl. the
+    # shared flag) so the native deframer can never truncate.
+    cap_frames = len(bits) // 32 + 8
     cap_bytes = len(bits) // 8 + 64
     meta = np.zeros(cap_frames * 2, np.int64)
     frames = np.zeros(cap_bytes, np.uint8)
@@ -164,6 +170,8 @@ def ax25_decode_bits(bits: np.ndarray) -> List[AX25Message]:
     msgs: List[AX25Message] = []
     for i in range(int(n)):
         off, length = int(meta[i * 2]), int(meta[i * 2 + 1])
+        if length < 14:  # CRC-lucky noise segment, not a parseable frame
+            continue
         msgs.append(AX25Message.from_frame(bytes(frames[off:off + length])))
     return msgs
 

@@ -210,7 +210,10 @@ def pocsag_decode_bits(bits: np.ndarray) -> List[POCSAGMessage]:
         lib = None
     if lib is None:
         return POCSAGDecoder().process(bits)
-    cap_msgs = max(16, len(bits) // 544 + 2)   # >= one message per batch
+    # True upper bounds so the native decoder can never truncate: every
+    # message consumes at least one 32-bit address word, and 32 payload bits
+    # pack into at most 3 bytes.
+    cap_msgs = len(bits) // 32 + 4
     cap_payload = len(bits) // 2 + 64
     meta = np.zeros(cap_msgs * 4, np.int64)
     payload = np.zeros(cap_payload, np.uint8)

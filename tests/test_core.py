@@ -252,3 +252,26 @@ def test_streaming_wav_writer(tmp_path):
     b, rb = read_wav(str(p2))
     assert ra == rb == 8000
     np.testing.assert_array_equal(a, b)
+
+
+def test_fuse_state_resets_on_rebind():
+    """Fusion decisions must not leak when a stage instance is reused in a
+    different pipeline (the rotation would add a false frequency offset)."""
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import FMDemod, FreqShift
+
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(np.complex64)
+    fm = FMDemod()
+    p1 = Pipeline([FreqShift(1200.0), fm])
+    p1.bind(StreamSpec(jnp.complex64, 48000, 512))
+    assert fm._rot is not None
+    # Reuse the same demod WITHOUT a shift: the folded rotation must clear.
+    p2 = Pipeline([fm])
+    p2.bind(StreamSpec(jnp.complex64, 48000, 512))
+    assert fm._rot is None and fm._pending_rot_freqs == []
+    _, y = p2.apply(p2.init_carry(), cplx.as_block(x))
+    ref = np.angle(np.asarray(x) * np.conj(
+        np.concatenate([[1.0 + 0j], np.asarray(x)[:-1]])))
+    np.testing.assert_allclose(np.asarray(y), ref.astype(np.float32),
+                               atol=1e-4)
