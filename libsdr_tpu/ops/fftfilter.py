@@ -70,11 +70,25 @@ class FFTFilterBank(Processor):
 
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
         in_spec.require_complex("FFTFilterBank")
+        self._make_kernels(in_spec)
+        return in_spec.with_(channels=in_spec.channels + (len(self.bands),))
+
+    def _make_kernels(self, in_spec: StreamSpec) -> None:
         b = in_spec.block_size
         fs = in_spec.rate_hz
         kf = np.stack([ref_band_kernel(b, lo, hi, fs) for lo, hi in self.bands])
         self._kern = cplx.constant(kf)  # (n_bands, 2B)
-        return in_spec.with_(channels=in_spec.channels + (len(self.bands),))
+
+    def set_band(self, idx: int, lo: float, hi: float) -> None:
+        """Retune band ``idx`` (reference: FilterSource::setFreq,
+        src/filternode.hh:116-124).  In the compiled model the band kernel is
+        a baked constant: eager ``apply`` picks the new band up immediately;
+        a previously jit-compiled step must be rebuilt (``Pipeline.compile``
+        after re-binding) — the analog of the reference recomputing its
+        kernel FFT inside ``config()``."""
+        self.bands[idx] = (min(lo, hi), max(lo, hi))
+        if self.is_bound:
+            self._make_kernels(self.in_spec)
 
     def init_carry(self):
         b = self.in_spec.block_size

@@ -340,6 +340,26 @@ class FIRFilter(Processor):
             raise ConfigError(f"Unknown FIR kind {self.kind!r}")
         return d[self.kind]()
 
+    def set_freq(self, fl: float = None, fu: float = None) -> None:
+        """Retune the band edges (reference: FIRFilter::setFreq,
+        src/firfilter.hh:150-160).  Taps are baked constants: eager apply
+        sees the retune immediately; a jit-compiled step must be rebuilt —
+        the analog of the reference re-running its coefficient designer."""
+        if fl is not None:
+            self.fl = float(fl)
+        if fu is not None:
+            self.fu = float(fu)
+        if self.is_bound:
+            self.taps = np.asarray(self._design_taps(self.in_spec.rate_hz))
+
+    def set_order(self, order: int) -> None:
+        """Change the tap count (reference: FIRFilter::setOrder,
+        src/firfilter.hh:140-148).  Changes the carry-tail length, so the
+        stream must be re-bound (init_carry) afterwards."""
+        self.order = max(1, int(order))
+        if self.is_bound:
+            self.taps = np.asarray(self._design_taps(self.in_spec.rate_hz))
+
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
         if self.decim > 1:
             in_spec.require_block_multiple("FIRFilter", self.decim)

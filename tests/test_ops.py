@@ -326,3 +326,39 @@ def test_iqbaseband_absolute_passband_gain():
     y = _run_blocks(bb, spec, tone)
     gain = np.abs(y[200:]).mean()
     assert 0.8 < gain < 1.1, f"passband gain {gain}"
+
+
+def test_runtime_retune(rng):
+    """set_freq / set_band retuning (reference: FIRFilter::setFreq,
+    FilterSource::setFreq): eager apply picks up the new design immediately."""
+    from libsdr_tpu.ops.fftfilter import FFTFilterBank
+
+    fs, n = 48000, 4096
+    tone_lo = siggen.iq_carrier(fs, n, 2000)
+    tone_hi = siggen.iq_carrier(fs, n, 15000)
+    x = cplx.as_block((tone_lo + tone_hi).astype(np.complex64))
+    spec = StreamSpec(jnp.complex64, fs, n)
+
+    f = FIRFilter(order=65, kind="lowpass", fu=5000.0)
+    f.bind(spec)
+    _, y1 = f.apply(f.init_carry(), x)
+    f.set_freq(fu=20000.0)
+    _, y2 = f.apply(f.init_carry(), x)
+    # the retuned low-pass now passes the 15 kHz tone
+    p1 = np.mean(np.abs(cplx.to_numpy(y1)[n // 2:]) ** 2)
+    p2 = np.mean(np.abs(cplx.to_numpy(y2)[n // 2:]) ** 2)
+    assert p2 > 1.5 * p1
+
+    bank = FFTFilterBank([(1000.0, 3000.0)])
+    bank.bind(spec)
+    _, b1 = bank.apply(bank.init_carry(), x)
+    bank.set_band(0, 14000.0, 16000.0)
+    _, b2 = bank.apply(bank.init_carry(), x)
+    a1 = cplx.to_numpy(b1)[0]
+    a2 = cplx.to_numpy(b2)[0]
+    # band 0 moved from the 2 kHz tone to the 15 kHz tone
+    sp1 = np.abs(np.fft.fft(a1[n // 2:]))
+    sp2 = np.abs(np.fft.fft(a2[n // 2:]))
+    fr = np.fft.fftfreq(n // 2, 1 / fs)
+    assert abs(fr[np.argmax(sp1)] - 2000) < 100
+    assert abs(fr[np.argmax(sp2)] - 15000) < 100
