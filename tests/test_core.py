@@ -2,6 +2,7 @@
 Mirrors the reference's testing idiom — drive nodes with synthetic buffers and
 inspect captured output (reference: test/coreutilstest.cc:12-75)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -275,3 +276,23 @@ def test_fuse_state_resets_on_rebind():
         np.concatenate([[1.0 + 0j], np.asarray(x)[:-1]])))
     np.testing.assert_allclose(np.asarray(y), ref.astype(np.float32),
                                atol=1e-4)
+
+
+def test_profiling_helpers(tmp_path):
+    """jax.profiler tracing + the host-side stage timer (SURVEY.md §5)."""
+    import os
+    from libsdr_tpu.utils.profiling import StageTimer, trace
+
+    t = StageTimer()
+    with t.region("work"):
+        y = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        jax.block_until_ready(y)
+    rep = t.report()
+    assert rep["work"]["calls"] == 1 and rep["work"]["total_s"] > 0
+
+    d = tmp_path / "prof"
+    with trace(str(d)):
+        y = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        jax.block_until_ready(y)
+    files = [f for _, _, fs in os.walk(d) for f in fs]
+    assert files, "profiler produced no trace files"
