@@ -121,3 +121,101 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
             lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), xb)
 
     return step, init_carry, place_input
+
+
+def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
+                       fs_hz: float, taps_per_branch: int = 8,
+                       baud: float = 1200.0, axis: str = "d"):
+    """Sharded whole-band pager scanner: the wideband stages (time-sharded
+    channelizer -> all_to_all reshard -> channel-sharded FM demod) extended
+    with the ASK detector and bit-sync PLL.  After the reshard each device
+    owns M/n channels over the FULL block, so the per-channel sequential PLL
+    scan is device-local — this is exactly why the reshard sits where it
+    does (the PLL cannot scan across a time-sharded axis).
+
+    ``step(carry, x)`` consumes a global (B,) complex block and returns a
+    Ragged (M, B/M) uint8 bit stream — compact each channel's row and feed
+    it to decode.pocsag_decode_bits.
+    """
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops import ASKDetector, BitStream
+
+    n = int(mesh.devices.size)
+    m, p = n_channels, taps_per_branch
+    if block % (m * n) or m % n:
+        raise ValueError("need block % (M*n) == 0 and M % n == 0")
+    proto = prototype_lowpass(m, p)
+    taps = jnp.asarray(fold_commutator(proto, m, p))
+    t_full = block // m
+    ch_rate = fs_hz / m
+
+    # Two bindings of the bit chain: LOCAL (per-device channel count) for
+    # the shard_map body, GLOBAL (all M channels) for carry construction.
+    def make_chain(nch):
+        ask = ASKDetector(invert=True)
+        bs = BitStream(baud, mode="normal")
+        spec = StreamSpec(np.float32, ch_rate, t_full, channels=(nch,))
+        bs.bind(ask.bind(spec))
+        return ask, bs
+
+    ask_l, bs_l = make_chain(m // n)
+    _, bs_g = make_chain(m)
+
+    def step_local(carry, x_local):
+        hist_global, prev_local, bsc = carry
+        t_seg = x_local.shape[-1] // m
+        frames_local = x_local.reshape((t_seg, m))
+        tail_frames = frames_local[t_seg - p:, :]
+        if n == 1:
+            hist = hist_global
+            new_hist = tail_frames
+        else:
+            idx = jax.lax.axis_index(axis)
+            halo = pass_right(tail_frames, axis)
+            hist = _tree_where(idx == 0, hist_global, halo)
+            new_hist = last_shard_tail(tail_frames, axis)
+        y = channelize_segment(x_local, hist, taps, m, p)
+        if n > 1:
+            def a2a(a):
+                return jax.lax.all_to_all(a, axis, split_axis=0,
+                                          concat_axis=1, tiled=True)
+            y = y.map(a2a)                               # (M/n, t_full)
+        shifted = cplx.concatenate([prev_local[..., None], y[..., :-1]],
+                                   axis=-1)
+        audio = (y * shifted.conj()).angle()
+        new_prev = y[..., -1]
+        ac, sym = ask_l.apply(None, audio)
+        bsc, bits = bs_l.apply(bsc, sym)
+        return (new_hist, new_prev, bsc), bits
+
+    if n == 1:
+        step = jax.jit(step_local)
+    else:
+        bs_carry_spec = dict(
+            t=P(), symbols=P(axis, None), sym_sum=P(axis),
+            phase=P(axis), omega=P(axis), last_bits=P(axis))
+        from libsdr_tpu.core.ragged import Ragged
+        step = jax.jit(jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=((P(), P(axis), bs_carry_spec), P(axis)),
+            out_specs=((P(), P(axis), bs_carry_spec),
+                       Ragged(P(axis, None), P(axis, None))),
+            check_vma=False,
+        ))
+
+    def init_carry():
+        hist = jax.device_put(cplx.zeros((p, m)), NamedSharding(mesh, P()))
+        prev = jax.device_put(cplx.full_like_phasor((m,)),
+                              NamedSharding(mesh, P(axis)))
+        bsc = bs_g.init_carry()
+        bsc = {k: jax.device_put(
+                   v, NamedSharding(mesh, P() if v.ndim == 0 else P(axis)))
+               for k, v in bsc.items()}
+        return (hist, prev, bsc)
+
+    def place_input(x):
+        xb = cplx.as_block(x)
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), xb)
+
+    return step, init_carry, place_input

@@ -149,3 +149,30 @@ def test_wideband_matches_local_channelizer(rng):
         want.append(np.asarray(ya))
     want = np.concatenate(want, axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_sharded_scanner_matches_single_device():
+    """The fully sharded scanner step (time-sharded channelizer ->
+    all_to_all -> channel-sharded FM + ASK + bit-sync PLL) produces
+    bit-identical PLL output to the n=1 path on the same wideband block."""
+    import jax
+    from jax.sharding import Mesh
+    from libsdr_tpu.parallel.wideband import build_scanner_step
+
+    m, n_dev = 16, 8
+    fs = m * 25_000.0
+    block = m * n_dev * 64 * 4
+    rng = np.random.default_rng(11)
+    x = (rng.normal(size=block) + 1j * rng.normal(size=block)
+         ).astype(np.complex64) * 0.3
+
+    outs = {}
+    for n in (1, n_dev):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+        step, init_carry, place = build_scanner_step(mesh, m, block, fs)
+        c = init_carry()
+        c, bits = step(c, place(x))
+        outs[n] = (np.asarray(bits.data), np.asarray(bits.valid))
+    np.testing.assert_array_equal(outs[1][0] * outs[1][1],
+                                  outs[n_dev][0] * outs[n_dev][1])
+    np.testing.assert_array_equal(outs[1][1], outs[n_dev][1])
