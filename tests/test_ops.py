@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 import scipy.signal
 
-from libsdr_tpu import StreamSpec
+from libsdr_tpu import Pipeline, StreamSpec
 from libsdr_tpu.ops.agc import AGC
 from libsdr_tpu.ops.baseband import IQBaseBand
 from libsdr_tpu.ops.demod import AMDemod, FMDemod, FMDeemph, USBDemod
@@ -362,3 +362,32 @@ def test_runtime_retune(rng):
     fr = np.fft.fftfreq(n // 2, 1 / fs)
     assert abs(fr[np.argmax(sp1)] - 2000) < 100
     assert abs(fr[np.argmax(sp2)] - 15000) < 100
+
+
+def test_autocast_bf16_compute(rng):
+    """AutoCast(compute='bfloat16') halves front-end HBM traffic and is
+    lossless for 8-bit sources: the FM chain output matches the f32 path."""
+    from libsdr_tpu.ops.utils import AutoCast
+
+    fs, n, bs = 96000, 8192, 4096
+    u8 = rng.integers(0, 256, size=2 * n).astype(np.uint8)
+    iq_u8 = (u8[0::2].astype(np.float32) - 128) / 128 + \
+        1j * ((u8[1::2].astype(np.float32) - 128) / 128)
+    iq_u8 = iq_u8.astype(np.complex64)
+
+    def run(compute):
+        p = Pipeline([AutoCast(compute=compute),
+                      IQBaseBand(fc=12000, width=8000, order=16, decim=4,
+                                 design="textbook"),
+                      FMDemod()])
+        p.bind(StreamSpec(jnp.complex64, fs, bs))
+        carry = p.init_carry()
+        outs = []
+        for i in range(n // bs):
+            carry, y = p.apply(carry, cplx.as_block(iq_u8[i * bs:(i + 1) * bs]))
+            outs.append(np.asarray(y, np.float64))
+        return np.concatenate(outs)
+
+    y32 = run("float32")
+    ybf = run("bfloat16")
+    assert snr_db(y32, ybf) > 60
