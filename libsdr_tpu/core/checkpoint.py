@@ -16,11 +16,22 @@ import jax
 import numpy as np
 
 
+def _storable(a: np.ndarray) -> np.ndarray:
+    """npz cannot store ml_dtypes (bfloat16 round-trips as raw void bytes);
+    widen such leaves to float32 — lossless, and load_checkpoint casts back
+    to the live carry's dtype."""
+    a = np.asarray(a)
+    if a.dtype.kind == "V" or str(a.dtype) in ("bfloat16", "float8_e4m3fn",
+                                               "float8_e5m2"):
+        return a.astype(np.float32)
+    return a
+
+
 def save_checkpoint(path: str, carry: Any, position: int,
                     meta: dict | None = None) -> None:
     """Serialize a carry pytree + stream position to ``path`` (.npz)."""
     leaves, treedef = jax.tree_util.tree_flatten(carry)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays = {f"leaf_{i}": _storable(l) for i, l in enumerate(leaves)}
     header = json.dumps({
         "position": int(position),
         "n_leaves": len(leaves),

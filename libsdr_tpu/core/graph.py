@@ -42,6 +42,11 @@ class Pipeline(Processor):
     # -- spec propagation (the "Config propagation" pass) ---------------------
 
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        # (Re)binding recomputes baked constants (taps, kernels, fusion
+        # decisions) — a previously compiled step has the OLD ones traced
+        # in, so it must be invalidated (retune contract: set_freq/set_band
+        # then re-bind + compile).
+        self._step = None
         if self.optimize:
             from libsdr_tpu.core.fuse import fuse_stages
             self.stages = fuse_stages(self.stages)
@@ -73,7 +78,12 @@ class Pipeline(Processor):
         """
         if self._step is None:
             donate = (0,) if donate_carry else ()
-            self._step = jax.jit(self.apply, donate_argnums=donate)
+            # A fresh lambda per compile: jax.jit keys its trace cache on
+            # the wrapped callable, and bound methods of the same object
+            # hash equal — re-compiling after a retune/re-bind would
+            # otherwise hit the stale trace with the OLD constants baked in.
+            self._step = jax.jit(lambda carry, x: self.apply(carry, x),
+                                 donate_argnums=donate)
         return self._step
 
     def describe(self) -> str:

@@ -71,14 +71,21 @@ class StreamSpec:
     channels: Tuple[int, ...] = ()
     ragged: bool = False  # True: blocks are Ragged(data, valid) at capacity
     #                       block_size and *nominal* rate sample_rate
+    plane_dtype: object = None  # storage dtype of the (planar) samples when
+    #                             narrower than the logical dtype, e.g.
+    #                             bfloat16 planes from AutoCast(compute=...)
 
     def __init__(self, dtype, sample_rate: RateLike, block_size: int,
-                 channels: Tuple[int, ...] = (), ragged: bool = False):
+                 channels: Tuple[int, ...] = (), ragged: bool = False,
+                 plane_dtype=None):
         object.__setattr__(self, "dtype", jnp.dtype(dtype))
         object.__setattr__(self, "sample_rate", _as_fraction(sample_rate))
         object.__setattr__(self, "block_size", int(block_size))
         object.__setattr__(self, "channels", tuple(int(c) for c in channels))
         object.__setattr__(self, "ragged", bool(ragged))
+        object.__setattr__(self, "plane_dtype",
+                           None if plane_dtype is None else
+                           jnp.dtype(plane_dtype))
 
     # -- geometry ----------------------------------------------------------
 
@@ -97,6 +104,9 @@ class StreamSpec:
 
     @property
     def real_dtype(self) -> jnp.dtype:
+        """Per-plane storage dtype (honors a narrower ``plane_dtype``)."""
+        if self.plane_dtype is not None:
+            return self.plane_dtype
         return real_dtype_of(self.dtype)
 
     def zeros(self):
@@ -105,15 +115,15 @@ class StreamSpec:
         see cplx.py), real streams plain arrays."""
         if self.is_complex:
             from libsdr_tpu.core import cplx
-            return cplx.zeros(self.shape, real_dtype_of(self.dtype))
-        return jnp.zeros(self.shape, self.dtype)
+            return cplx.zeros(self.shape, self.real_dtype)
+        return jnp.zeros(self.shape, self.real_dtype)
 
     def with_(self, **kw) -> "StreamSpec":
         """Functional update (named like dataclasses.replace but tolerant of
         the custom __init__)."""
         cur = dict(dtype=self.dtype, sample_rate=self.sample_rate,
                    block_size=self.block_size, channels=self.channels,
-                   ragged=self.ragged)
+                   ragged=self.ragged, plane_dtype=self.plane_dtype)
         cur.update(kw)
         return StreamSpec(**cur)
 

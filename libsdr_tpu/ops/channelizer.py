@@ -98,6 +98,7 @@ class Channelizer(Processor):
         self._taps = jnp.asarray(fold_commutator(proto, m, p))
         return in_spec.with_(
             channels=in_spec.channels + (m,),
+            plane_dtype=None,  # synthesis DFT accumulates in f32
             sample_rate=in_spec.sample_rate / m,
             block_size=in_spec.block_size // m)
 

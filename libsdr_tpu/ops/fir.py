@@ -343,8 +343,12 @@ class FIRFilter(Processor):
     def set_freq(self, fl: float = None, fu: float = None) -> None:
         """Retune the band edges (reference: FIRFilter::setFreq,
         src/firfilter.hh:150-160).  Taps are baked constants: eager apply
-        sees the retune immediately; a jit-compiled step must be rebuilt —
-        the analog of the reference re-running its coefficient designer."""
+        sees the retune immediately; a jit-compiled step must be rebuilt
+        (re-bind the Pipeline, then compile) — the analog of the reference
+        re-running its coefficient designer."""
+        if self.kind == "custom":
+            raise ConfigError("set_freq: a custom-taps filter has no "
+                              "designer to retune")
         if fl is not None:
             self.fl = float(fl)
         if fu is not None:
@@ -356,6 +360,9 @@ class FIRFilter(Processor):
         """Change the tap count (reference: FIRFilter::setOrder,
         src/firfilter.hh:140-148).  Changes the carry-tail length, so the
         stream must be re-bound (init_carry) afterwards."""
+        if self.kind == "custom":
+            raise ConfigError("set_order: a custom-taps filter has no "
+                              "designer to re-run")
         self.order = max(1, int(order))
         if self.is_bound:
             self.taps = np.asarray(self._design_taps(self.in_spec.rate_hz))
@@ -367,8 +374,12 @@ class FIRFilter(Processor):
         out_dtype = in_spec.dtype
         if np.iscomplexobj(self.taps) and not in_spec.is_complex:
             out_dtype = jnp.complex64
+        # A narrow input plane dtype (bf16 ingest) does NOT propagate: the
+        # filter's MXU path accumulates in f32 and the output is normalized
+        # to the full dtype (filtering gains precision beyond the source's).
         return in_spec.with_(
             dtype=out_dtype,
+            plane_dtype=None,
             sample_rate=in_spec.sample_rate / self.decim,
             block_size=in_spec.block_size // self.decim)
 
@@ -384,4 +395,12 @@ class FIRFilter(Processor):
             return carry, x
         y, tail = fir_overlap_save(
             self.taps, x, carry, stride=self.decim, offset=self.decim - 1)
+        # Normalize narrow-plane outputs (bf16 ingest through the conv path)
+        # to the declared full-precision output dtype.
+        want = self.out_spec.real_dtype
+        if isinstance(y, Complex):
+            if y.re.dtype != want:
+                y = Complex(y.re.astype(want), y.im.astype(want))
+        elif y.dtype != want and jnp.issubdtype(y.dtype, jnp.floating):
+            y = y.astype(want)
         return tail, y

@@ -82,7 +82,13 @@ class AutoCast(Cast):
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
         self.dtype = jnp.dtype(
             jnp.complex64 if in_spec.is_complex else jnp.float32)
-        return super()._bind(in_spec)
+        out = super()._bind(in_spec)
+        if self._compute != jnp.float32:
+            # Advertise the narrow plane dtype so downstream carries (FIR
+            # tails etc.) initialize consistently with the runtime planes —
+            # no dtype drift, no re-trace after block 0.
+            out = out.with_(plane_dtype=self._compute)
+        return out
 
     def apply(self, carry, x):
         carry, y = super().apply(carry, x)

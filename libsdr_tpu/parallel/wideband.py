@@ -68,34 +68,8 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
 
     def step_local(carry, x_local):
         hist_global, prev_local = carry
-        # --- stage 1: time-sharded channelizer with frame halo ------------
-        t_seg = x_local.shape[-1] // m
-        frames_local = x_local.reshape((t_seg, m))
-        tail_frames = frames_local[t_seg - p:, :]
-        if n == 1:
-            # Collectives on a 1-device mesh are identities, but this
-            # backend lowers them (ppermute/all_to_all inside shard_map) to
-            # paths ~6x slower than the op itself — skip them statically.
-            hist = hist_global
-            new_hist = tail_frames
-        else:
-            idx = jax.lax.axis_index(axis)
-            halo = pass_right(tail_frames, axis)
-            hist = _tree_where(idx == 0, hist_global, halo)
-            new_hist = last_shard_tail(tail_frames, axis)
-        y = channelize_segment(x_local, hist, taps, m, p)   # (M, t_seg)
-        # --- stage 2: reshard channels <-> time (one all_to_all) ----------
-        if n > 1:
-            def a2a(a):
-                return jax.lax.all_to_all(a, axis, split_axis=0,
-                                          concat_axis=1, tiled=True)
-            y = y.map(a2a)                                  # (M/n, t_full)
-        yc = y
-        # --- stage 3: channel-sharded FM demod -----------------------------
-        shifted = cplx.concatenate([prev_local[..., None], yc[..., :-1]],
-                                   axis=-1)
-        audio = (yc * shifted.conj()).angle()
-        new_prev = yc[..., -1]
+        new_hist, new_prev, audio = _wideband_body(
+            hist_global, prev_local, x_local, taps, m, p, n, axis)
         return (new_hist, new_prev), audio
 
     if n == 1:
@@ -108,6 +82,47 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
             check_vma=False,
         ))
 
+    init_carry, place_input = _wideband_carry_and_place(mesh, m, p, axis)
+    return step, init_carry, place_input
+
+
+def _wideband_body(hist_global, prev_local, x_local, taps, m: int, p: int,
+                   n: int, axis: str):
+    """The shared per-device wideband stages:
+
+    1. time-sharded channelizer with a ppermute frame halo,
+    2. all_to_all reshard channels <-> time,
+    3. channel-sharded quadrature FM demod.
+
+    Returns (new_hist, new_prev, audio (M/n, t_full))."""
+    t_seg = x_local.shape[-1] // m
+    frames_local = x_local.reshape((t_seg, m))
+    tail_frames = frames_local[t_seg - p:, :]
+    if n == 1:
+        # Collectives on a 1-device mesh are identities, but this backend
+        # lowers them (ppermute/all_to_all inside shard_map) to paths ~6x
+        # slower than the op itself — skip them statically.
+        hist = hist_global
+        new_hist = tail_frames
+    else:
+        idx = jax.lax.axis_index(axis)
+        halo = pass_right(tail_frames, axis)
+        hist = _tree_where(idx == 0, hist_global, halo)
+        new_hist = last_shard_tail(tail_frames, axis)
+    y = channelize_segment(x_local, hist, taps, m, p)       # (M, t_seg)
+    if n > 1:
+        def a2a(a):
+            return jax.lax.all_to_all(a, axis, split_axis=0,
+                                      concat_axis=1, tiled=True)
+        y = y.map(a2a)                                      # (M/n, t_full)
+    shifted = cplx.concatenate([prev_local[..., None], y[..., :-1]],
+                               axis=-1)
+    audio = (y * shifted.conj()).angle()
+    return new_hist, y[..., -1], audio
+
+
+def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
+    """(init_carry, place_input) shared by the wideband/scanner builders."""
     def init_carry():
         hist = jax.device_put(cplx.zeros((p, m)),
                               NamedSharding(mesh, P()))
@@ -120,7 +135,7 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), xb)
 
-    return step, init_carry, place_input
+    return init_carry, place_input
 
 
 def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
@@ -163,37 +178,22 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
 
     def step_local(carry, x_local):
         hist_global, prev_local, bsc = carry
-        t_seg = x_local.shape[-1] // m
-        frames_local = x_local.reshape((t_seg, m))
-        tail_frames = frames_local[t_seg - p:, :]
-        if n == 1:
-            hist = hist_global
-            new_hist = tail_frames
-        else:
-            idx = jax.lax.axis_index(axis)
-            halo = pass_right(tail_frames, axis)
-            hist = _tree_where(idx == 0, hist_global, halo)
-            new_hist = last_shard_tail(tail_frames, axis)
-        y = channelize_segment(x_local, hist, taps, m, p)
-        if n > 1:
-            def a2a(a):
-                return jax.lax.all_to_all(a, axis, split_axis=0,
-                                          concat_axis=1, tiled=True)
-            y = y.map(a2a)                               # (M/n, t_full)
-        shifted = cplx.concatenate([prev_local[..., None], y[..., :-1]],
-                                   axis=-1)
-        audio = (y * shifted.conj()).angle()
-        new_prev = y[..., -1]
-        ac, sym = ask_l.apply(None, audio)
+        new_hist, new_prev, audio = _wideband_body(
+            hist_global, prev_local, x_local, taps, m, p, n, axis)
+        _, sym = ask_l.apply(None, audio)
         bsc, bits = bs_l.apply(bsc, sym)
         return (new_hist, new_prev, bsc), bits
 
     if n == 1:
         step = jax.jit(step_local)
     else:
-        bs_carry_spec = dict(
-            t=P(), symbols=P(axis, None), sym_sum=P(axis),
-            phase=P(axis), omega=P(axis), last_bits=P(axis))
+        # Derive the BitStream carry spec from its own pytree (scalars
+        # replicated, per-channel leaves sharded on the channel axis) so the
+        # scanner never restates bitsync.py's internal state fields.
+        def leaf_spec(v):
+            return P() if np.ndim(v) == 0 else P(
+                axis, *([None] * (np.ndim(v) - 1)))
+        bs_carry_spec = jax.tree_util.tree_map(leaf_spec, bs_g.init_carry())
         from libsdr_tpu.core.ragged import Ragged
         step = jax.jit(jax.shard_map(
             step_local, mesh=mesh,
@@ -203,19 +203,14 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
             check_vma=False,
         ))
 
-    def init_carry():
-        hist = jax.device_put(cplx.zeros((p, m)), NamedSharding(mesh, P()))
-        prev = jax.device_put(cplx.full_like_phasor((m,)),
-                              NamedSharding(mesh, P(axis)))
-        bsc = bs_g.init_carry()
-        bsc = {k: jax.device_put(
-                   v, NamedSharding(mesh, P() if v.ndim == 0 else P(axis)))
-               for k, v in bsc.items()}
-        return (hist, prev, bsc)
+    wb_init, place_input = _wideband_carry_and_place(mesh, m, p, axis)
 
-    def place_input(x):
-        xb = cplx.as_block(x)
-        return jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), xb)
+    def init_carry():
+        hist, prev = wb_init()
+        bsc = jax.tree_util.tree_map(
+            lambda v: jax.device_put(
+                v, NamedSharding(mesh, P() if v.ndim == 0 else P(axis))),
+            bs_g.init_carry())
+        return (hist, prev, bsc)
 
     return step, init_carry, place_input

@@ -28,25 +28,33 @@ def trace(log_dir: str):
 class StageTimer:
     """Accumulating wall-clock timer with device synchronization.
 
+    The region yields a ``sync`` callable; register the values produced
+    inside so the timer blocks on them before recording (JAX dispatch is
+    asynchronous — without the sync only dispatch latency would be timed):
+
     >>> t = StageTimer()
-    >>> with t.region("fir"):
+    >>> with t.region("fir") as sync:
     ...     y = step(c, x)
+    ...     sync(y)
     >>> t.report()
     {'fir': {'calls': 1, 'total_s': ...}}
     """
 
     def __init__(self) -> None:
-        self._acc: Dict[str, list] = {}
+        self._acc: Dict[str, tuple] = {}
 
     @contextlib.contextmanager
-    def region(self, name: str, sync_on: Optional[object] = None):
+    def region(self, name: str):
+        pending: list = []
         t0 = time.perf_counter()
-        yield
-        if sync_on is not None:
-            jax.block_until_ready(sync_on)
-        dt = time.perf_counter() - t0
-        calls, total = self._acc.get(name, (0, 0.0))
-        self._acc[name] = (calls + 1, total + dt)
+        try:
+            yield pending.append
+        finally:
+            for v in pending:
+                jax.block_until_ready(v)
+            dt = time.perf_counter() - t0
+            calls, total = self._acc.get(name, (0, 0.0))
+            self._acc[name] = (calls + 1, total + dt)
 
     def report(self) -> Dict[str, dict]:
         return {k: {"calls": c, "total_s": round(s, 6)}

@@ -340,10 +340,15 @@ def test_runtime_retune(rng):
     spec = StreamSpec(jnp.complex64, fs, n)
 
     f = FIRFilter(order=65, kind="lowpass", fu=5000.0)
-    f.bind(spec)
-    _, y1 = f.apply(f.init_carry(), x)
+    p = Pipeline([f])
+    p.bind(spec)
+    step1 = p.compile()
+    _, y1 = step1(p.init_carry(), x)
     f.set_freq(fu=20000.0)
-    _, y2 = f.apply(f.init_carry(), x)
+    p.bind(spec)                     # re-bind invalidates the compiled step
+    step2 = p.compile()
+    assert step2 is not step1
+    _, y2 = step2(p.init_carry(), x)
     # the retuned low-pass now passes the 15 kHz tone
     p1 = np.mean(np.abs(cplx.to_numpy(y1)[n // 2:]) ** 2)
     p2 = np.mean(np.abs(cplx.to_numpy(y2)[n // 2:]) ** 2)
@@ -391,3 +396,29 @@ def test_autocast_bf16_compute(rng):
     y32 = run("float32")
     ybf = run("bfloat16")
     assert snr_db(y32, ybf) > 60
+
+    # Carry dtypes must be STABLE (no bf16/f32 drift after block 0, which
+    # would force a second full jit trace of the pipeline).
+    import jax
+    p = Pipeline([AutoCast(compute="bfloat16"),
+                  IQBaseBand(fc=12000, width=8000, order=16, decim=4,
+                             design="textbook"),
+                  FMDemod()])
+    p.bind(StreamSpec(jnp.complex64, fs, bs))
+    c0 = p.init_carry()
+    c1, _ = p.apply(c0, cplx.as_block(iq_u8[:bs]))
+    d0 = [np.asarray(l).dtype for l in jax.tree_util.tree_leaves(c0)]
+    d1 = [np.asarray(l).dtype for l in jax.tree_util.tree_leaves(c1)]
+    assert d0 == d1, (d0, d1)
+
+    # And bf16 carries must survive a checkpoint round-trip.
+    import tempfile, os
+    from libsdr_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    f = os.path.join(tempfile.mkdtemp(), "ck.npz")
+    save_checkpoint(f, c1, position=1)
+    c2, pos, _ = load_checkpoint(f, p.init_carry())
+    assert pos == 1
+    for a, b in zip(jax.tree_util.tree_leaves(c1),
+                    jax.tree_util.tree_leaves(c2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
