@@ -9,12 +9,12 @@ vector FMAs over a (CT, WT_out, D)-framed tile: no strided loads, pure VPU
 work, with both complex planes produced in the same pass (input streams from
 HBM exactly once).
 
-Measured on the v5e (128 ch x 512k block, 68 taps, D=4): the XLA conv path
-(ops/fir.py, feature-packed single-pass conv) sustains 3.7 Gsps vs 1.55 Gsps
-for this kernel — XLA's conv lowering beats a hand-written VPU FMA loop for
-this op, so the conv path stays the default and this kernel is an
-alternative backend (and the worked example of the manual-DMA overlapping-
-window pattern for ops XLA cannot express).
+Measured on the v5e (128 ch x 512k block, 68 taps, D=4): 1.55 Gsps for this
+kernel vs 3.7 Gsps for the XLA conv path it originally competed with; the
+current default is the block-Toeplitz MXU matmul (ops/fir.py::_fir_matmul,
+~9 Gsps standalone), so this kernel remains an alternative backend and the
+worked example of the manual-DMA overlapping-window pattern (see also
+pallas_fir_mxu.py for the MXU-matmul kernel variant).
 """
 
 from __future__ import annotations
