@@ -217,3 +217,29 @@ def test_wideband_scanner(tmp_path):
         assert ch in found, (ch, sorted(found))
         assert found[ch][0].address == addr
         assert found[ch][0].as_text().startswith(text)
+
+
+def test_tx_loopback(tmp_path):
+    """The transmitter CLI's captures decode through the matching receivers
+    (full TX -> RX loopback for every mode)."""
+    from libsdr_tpu.apps import tx, pocsag_rx, ax25_rx, rtty_rx, psk31_rx
+
+    f = tx.main(["pocsag", "-o", str(tmp_path / "p.wav"),
+                 "--address", "777", "--text", "LOOPBACK"])
+    msgs = pocsag_rx.main(["--file", f, "--block-size", "24000"])
+    assert msgs and msgs[0].address == 777
+    assert msgs[0].as_text().startswith("LOOPBACK")
+
+    f = tx.main(["afsk", "-o", str(tmp_path / "a.wav"),
+                 "--from-call", "K2TX", "--info", "!4903.50N/07201.75W-tx"])
+    dec = ax25_rx.main(["--file", f, "--audio", "--block-size", "12000"])
+    assert dec.messages and dec.messages[0].frm.call == "K2TX"
+
+    f = tx.main(["rtty", "-o", str(tmp_path / "r.wav"),
+                 "--text", "RYRY TX LOOP", "--fs", "8000"])
+    got = rtty_rx.main(["--file", f, "--block-size", "8000"])
+    assert "TX LOOP" in got
+
+    f = tx.main(["psk31", "-o", str(tmp_path / "k.wav"), "--text", "tx ok"])
+    got = psk31_rx.main(["--file", f, "--block-size", "2000"])
+    assert "tx ok" in got
