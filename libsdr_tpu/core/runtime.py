@@ -66,11 +66,19 @@ def run_pipeline(pipeline: Pipeline,
     step = pipeline.compile()
     if carry is None:
         carry = pipeline.init_carry()
+    ragged = pipeline.out_spec.ragged if pipeline.is_bound else False
     outs = []
     pending = []  # keep a small window of in-flight device results
 
     def drain(y):
-        y = cplx.to_numpy(y)  # complex streams come back planar
+        if ragged:
+            # Variable-rate decoder streams (bit-sync output): hand the
+            # host-side Ragged block through; the collected result is
+            # compacted once at the end (per-channel for channel banks).
+            from libsdr_tpu.core.ragged import Ragged
+            y = Ragged(np.asarray(y.data), np.asarray(y.valid))
+        else:
+            y = cplx.to_numpy(y)  # complex streams come back planar
         if sink is not None:
             sink(y)
         if collect:
@@ -87,8 +95,12 @@ def run_pipeline(pipeline: Pipeline,
             drain(pending.pop(0))
     for y in pending:
         drain(y)
-    out = np.concatenate(outs, axis=-1) if (collect and outs) else None
-    return carry, out
+    if not (collect and outs):
+        return carry, None
+    if ragged:
+        from libsdr_tpu.core.ragged import compact, concat_host
+        return carry, compact(concat_host(outs))
+    return carry, np.concatenate(outs, axis=-1)
 
 
 def reblock(blocks: Iterable[np.ndarray], out_size: int) -> Iterator[np.ndarray]:

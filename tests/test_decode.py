@@ -311,3 +311,49 @@ def test_bpsk31_decodes_varicode():
     dec = VaricodeDecoder()
     decoded = dec.process(got_bits)
     assert text in decoded, f"decoded: {decoded!r}"
+
+
+def test_decoders_robust_to_noise(rng):
+    """Pure-noise inputs must never crash any decoder — only produce zero or
+    spurious-but-well-formed results (the reference tolerates corrupt input
+    the same way: BCH repair, CRC reject, framing resync)."""
+    from libsdr_tpu.decode import (AX25Decoder, BaudotDecoder, POCSAGDecoder,
+                                   VaricodeDecoder, ax25_decode_bits,
+                                   pocsag_decode_bits)
+
+    bits = (rng.random(50_000) > 0.5).astype(np.uint8)
+    for m in POCSAGDecoder().process(bits) + pocsag_decode_bits(bits):
+        assert 0 <= m.address < (1 << 21 + 3)
+        m.best_decode()  # must not raise
+    d = AX25Decoder()
+    for m in d.process(bits) + ax25_decode_bits(bits):
+        str(m)  # parseable frame or skipped — never IndexError
+    BaudotDecoder().process(bits)
+    VaricodeDecoder().process(bits)
+
+    # all-ones / all-zeros edge streams
+    for b in (np.zeros(5000, np.uint8), np.ones(5000, np.uint8)):
+        POCSAGDecoder().process(b)
+        pocsag_decode_bits(b)
+        AX25Decoder().process(b)
+        ax25_decode_bits(b)
+
+
+def test_ragged_run_pipeline(rng):
+    """run_pipeline compacts ragged (variable-rate) outputs; matches the
+    manual run_bit_chain path."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.apps.chains import run_bit_chain
+    from libsdr_tpu.core import run_pipeline, stream_blocks
+    from libsdr_tpu.ops import ASKDetector, BitStream
+
+    x = rng.normal(size=9600).astype(np.float32)
+
+    def fe():
+        p = Pipeline([ASKDetector(), BitStream(1200.0, mode="normal")])
+        p.bind(StreamSpec(np.float32, 24000.0, 4800))
+        return p
+
+    _, bits = run_pipeline(fe(), stream_blocks(x, 4800))
+    ref = run_bit_chain(fe(), x)
+    np.testing.assert_array_equal(bits, ref)
