@@ -243,3 +243,23 @@ def test_tx_loopback(tmp_path):
     f = tx.main(["psk31", "-o", str(tmp_path / "k.wav"), "--text", "tx ok"])
     got = psk31_rx.main(["--file", f, "--block-size", "2000"])
     assert "tx ok" in got
+
+
+def test_spectrum_cli(tmp_path):
+    """Welch PSD on the matmul FFT finds the tones in a capture (and the
+    PNG render path works)."""
+    from libsdr_tpu.apps import spectrum
+
+    fs, n = 96_000, 96_000
+    iq = (0.8 * siggen.iq_carrier(fs, n, 12_000)
+          + 0.2 * siggen.iq_carrier(fs, n, -25_000)
+          + 0.01 * (np.random.default_rng(0).normal(size=n)
+                    + 1j * np.random.default_rng(1).normal(size=n))
+          ).astype(np.complex64)
+    cap = tmp_path / "cap.wav"
+    write_wav_iq(str(cap), iq, fs)
+    out = spectrum.main(["--file", str(cap), "--nfft", "4096",
+                         "--png", str(tmp_path / "s.png")])
+    got = sorted(p["freq_hz"] for p in out["peaks"][:2])
+    assert abs(got[0] - (-25_000)) < 100 and abs(got[1] - 12_000) < 100
+    assert (tmp_path / "s.png").stat().st_size > 10_000
