@@ -261,15 +261,42 @@ def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
     return y, new_tail
 
 
+# Kill switch for the Pallas MXU kernel backend (wide channel banks).
+USE_PALLAS_MXU = True
+
+
+def _try_pallas_mxu(x, taps, stride: int, s0: int):
+    """The fused Pallas kernel (ops/pallas_fir_mxu) keeps the Toeplitz
+    product in VMEM — measured ~14 Gsps vs ~9 for the XLA matmul on wide
+    banks (>=64 channels: the kernel's channel tile is its MXU row count).
+    Returns (y_full, nsp) or None when not applicable."""
+    if not USE_PALLAS_MXU or not isinstance(x, Complex):
+        return None
+    if x.re.ndim != 2 or x.re.shape[0] < 64:
+        return None
+    if jax.default_backend() not in ("tpu",):
+        return None
+    taps_np = np.asarray(taps)
+    if not np.iscomplexobj(taps_np):
+        taps_np = taps_np.astype(np.complex128)
+    c, b = x.re.shape
+    from libsdr_tpu.ops import pallas_fir_mxu as pfm
+    if not pfm.mxu_fir_supported(taps_np.shape[0], stride, s0, c, b):
+        return None
+    y, nsp = pfm.fir_mxu(x, taps_np, stride, s0)
+    return y, nsp, pfm._S
+
+
 def _fir_main(x, taps, stride: int, s0: int):
     """In-block FIR outputs (window start s0 + j*stride, fully inside x).
 
-    Dispatches to the MXU block-Toeplitz matmul when profitable (decimating
-    filters on large blocks — ~2x the conv path on the v5e); otherwise the
-    XLA conv.  The matmul path reads the whole unsliced block (the offset is
-    baked into the Toeplitz matrices) so no full-rate copy is ever made;
-    the last few outputs whose windows spill past the final frame come from
-    a small conv on the block tail."""
+    Dispatches to the Pallas MXU kernel (wide channel banks) or the XLA
+    block-Toeplitz matmul when profitable (decimating filters on large
+    blocks — ~2x the conv path on the v5e); otherwise the XLA conv.  The
+    matmul paths read the whole unsliced block (the offset is baked into
+    the Toeplitz matrices) so no full-rate copy is ever made; the last few
+    outputs whose windows spill past the final frame come from a small conv
+    on the block tail."""
     b = x.shape[-1] if not isinstance(x, Complex) else x.re.shape[-1]
     t = int(np.asarray(taps).shape[0])
     n_main = (b - s0 - t) // stride + 1
@@ -280,6 +307,18 @@ def _fir_main(x, taps, stride: int, s0: int):
     if not use_mm:
         return _conv1d(x[..., s0:], taps, stride)
     f_full = b // sd
+    pl = _try_pallas_mxu(x, taps, stride, s0)
+    if pl is not None:
+        y_mm, nsp, s_out_k = pl
+        # The kernel's frame size may differ from s_out; recompute counts.
+        f_full = b // (stride * s_out_k)
+        n_valid = min(f_full * s_out_k - nsp, n_main)
+        y_mm = y_mm[..., :n_valid]
+        if n_valid == n_main:
+            return y_mm
+        rem_start = s0 + n_valid * stride
+        y_rest = _conv1d(x[..., rem_start:], taps, stride)
+        return cplx.concatenate([y_mm, y_rest], axis=-1)
     y_mm, nsp = _fir_matmul(x, taps, stride, s_out, offset=s0)
     n_valid = min(f_full * s_out - nsp, n_main)
     y_mm = y_mm[..., :n_valid]

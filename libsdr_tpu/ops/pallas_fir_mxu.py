@@ -34,14 +34,14 @@ block-tail outputs the overlap-save caller discards anyway.
 Double buffering: scratch has a slot dimension; each grid step prefetches
 the next step's input while the MXU chews on the current slot.
 
-Measured on the v5e (128 ch x 512k block, 68 taps, D=4): ~11 ms (~6.1 Gsps),
-vs ~7.2 ms for the XLA block-Toeplitz matmul path (ops/fir.py::_fir_matmul)
-— per-grid-step overheads on this backend dominate and timings vary +-30%
-run to run, so the XLA path stays the default and this kernel is the
-alternative backend (and the worked example of the MXU-matmul +
-double-buffered-DMA pattern).  Precision probes (1-pass bf16 vs 3-pass vs
-f32-HIGHEST) land within noise of each other, confirming the kernel is not
-compute-bound.
+Measured on the v5e (128 ch x 512k block, 68 taps, D=4): **4.8 ms
+(~14 Gsps) vs ~7.2 ms for the XLA block-Toeplitz matmul path** once the
+Toeplitz matrix is cached (jax.profiler showed the apparent slowness was
+~3 ms/call of host matrix rebuild + tunnel upload, not the kernel).  It is
+the production backend for wide channel banks (>= 64 channels, where the
+channel tile fills the MXU rows — ops/fir.py::_try_pallas_mxu); narrow
+banks fall back to the XLA matmul, whose batched-frame shape suits them
+better.
 """
 
 from __future__ import annotations
@@ -234,6 +234,39 @@ def _fir_mxu_call(xr, xi, m, stride: int, interpret: bool = False):
     return Complex(out[0], out[1])
 
 
+_MAT_CACHE_NP: dict = {}
+_MAT_CACHE_DEV: dict = {}
+
+
+def _mats_on_device(taps: np.ndarray, stride: int, offset: int):
+    """Toeplitz matrix, cached by (taps, stride, offset): building it is
+    ~1.6 ms of host numpy and uploading 786 KB through this environment's
+    tunnel another ~1.4 ms — per STEP, it dominated the kernel's own
+    runtime when called eagerly (found via jax.profiler).
+
+    The numpy build is always cached.  The device-resident array is cached
+    only OUTSIDE traces (a tracer-context constant must not leak into later
+    traces); inside a jitted pipeline the constant folds at trace time
+    anyway."""
+    key = (taps.tobytes(), int(stride), int(offset), _S, _NSP_PAD)
+    m_np = _MAT_CACHE_NP.get(key)
+    if m_np is None:
+        m_np = _build_mats(taps, stride, offset)
+        if len(_MAT_CACHE_NP) > 64:
+            _MAT_CACHE_NP.clear()
+        _MAT_CACHE_NP[key] = m_np
+    from jax._src import core as _core
+    if not _core.trace_state_clean():
+        return jnp.asarray(m_np)  # trace-time constant, folds into the jit
+    m = _MAT_CACHE_DEV.get(key)
+    if m is None:
+        m = jnp.asarray(m_np)
+        if len(_MAT_CACHE_DEV) > 64:
+            _MAT_CACHE_DEV.clear()
+        _MAT_CACHE_DEV[key] = m
+    return m
+
+
 def fir_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
             interpret: bool = False) -> Tuple[Complex, int]:
     """All in-block FIR outputs (window start offset + j*stride) for a 2-D
@@ -243,7 +276,6 @@ def fir_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
     ``nsp`` are invalid (they need next-block data) — identical contract to
     ops.fir._fir_matmul."""
     taps = np.asarray(taps)
-    m_np = _build_mats(taps, stride, offset)
-    y = _fir_mxu_call(x.re, x.im, jnp.asarray(m_np), stride,
-                      interpret=interpret)
+    y = _fir_mxu_call(x.re, x.im, _mats_on_device(taps, stride, offset),
+                      stride, interpret=interpret)
     return y, _NSP_PAD
