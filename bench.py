@@ -39,11 +39,13 @@ def main() -> None:
 
     from libsdr_tpu.core import cplx
 
-    # 8 channels x 16M-sample blocks maximizes aggregate throughput on one
-    # chip (~1 GB of planar input per step amortizes dispatch + matmul
-    # tiling best; a low-latency streaming config like 128ch x 512k runs
-    # ~6.5-7 Gsps on the same chain).
-    n_channels, block = 8, 1 << 24
+    # 64 channels x 16M-sample blocks maximizes aggregate throughput on one
+    # chip: >=64 channels engages the fused Pallas FM kernel (FIR +
+    # discriminator + de-emphasis in one pass, the complex baseband never
+    # touching HBM) and ~8.6 GB of planar input per step amortizes
+    # dispatch.  Low-latency streaming configs (128ch x 512k) run
+    # ~9-11 Gsps on the same chain.
+    n_channels, block = 64, 1 << 24
     rx = build(n_channels, block)
     step = rx.compile()
     carry = rx.init_carry()

@@ -28,6 +28,14 @@ from __future__ import annotations
 from typing import List
 
 
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def fuse_stages(stages: List) -> List:
     """Return a rewritten stage list with NCO rotations folded into
     rotation-invariant / product-form consumers."""
@@ -62,6 +70,25 @@ def fuse_stages(stages: List) -> List:
         if (isinstance(st, FreqShift) and st.mode == "exact"
                 and isinstance(nxt, AMDemod)):
             i += 1  # |x| is rotation-invariant: drop outright
+            continue
+        if (isinstance(st, IQBaseBand) and type(st) is IQBaseBand
+                and _demod_takes_rot(nxt)
+                and not nxt._pending_rot_freqs
+                and _on_tpu()):
+            # Full fusion: one op computes audio straight from raw IQ (on
+            # wide banks via the pallas kernel — the complex baseband never
+            # touches HBM).  Exactly equal math to the fold-rotation path.
+            from libsdr_tpu.ops.demod import FMDeemph
+            from libsdr_tpu.ops.fm_fused import FMBasebandFused
+            fused = FMBasebandFused(st, nxt)
+            i += 2
+            nxt2 = stages[i] if i < len(stages) else None
+            if isinstance(nxt2, FMDeemph) and nxt2.enabled:
+                # The de-emphasis IIR rides along in the kernel (frame
+                # matmul vs its impulse-response matrix + carried state).
+                fused.absorb_deemph(nxt2)
+                i += 1
+            out.append(fused)
             continue
         if (isinstance(st, IQBaseBand) and st.fc != 0.0
                 and (_demod_takes_rot(nxt) or isinstance(nxt, AMDemod))):

@@ -1,0 +1,172 @@
+"""Fused FM receiver front end: IQBaseBand + quadrature FMDemod as ONE op.
+
+Installed by the graph fusion pass (core/fuse.py) on TPU backends when an
+IQBaseBand feeds a quadrature FMDemod.  The payoff: on wide channel banks
+the pallas kernel (ops/pallas_fir_mxu.fir_fm_mxu) computes f32 audio
+straight from the raw IQ block — the complex baseband y never exists in
+HBM (it was 0.5x the input written + read twice by the discriminator's
+shifted product).  Narrow banks fall back to the XLA matmul FIR + fused
+elementwise demod, which is exactly what the unfused graph compiles to.
+
+Math (identical to the unfused [IQBaseBand -> FMDemod] pair with the NCO
+folded, core/fuse.py): y = decimating-FIR(x, g2), audio[j] = gain *
+angle(y[j] * conj(y[j-1]) * rot), rot = e^(-i 2 pi fc D / fs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libsdr_tpu.core import cplx
+from libsdr_tpu.core.block import Processor
+from libsdr_tpu.core.cplx import Complex
+from libsdr_tpu.core.stream import StreamSpec
+from libsdr_tpu.ops import firdesign
+from libsdr_tpu.ops.baseband import IQBaseBand, fused_baseband_taps
+from libsdr_tpu.ops.demod import FMDemod
+from libsdr_tpu.ops.fir import _conv1d, _fir_main
+
+
+class FMBasebandFused(Processor):
+    """One-op FM front end (built by core/fuse.py from IQBaseBand+FMDemod)."""
+
+    def __init__(self, bb: IQBaseBand, demod: FMDemod):
+        super().__init__()
+        self.bb = bb
+        self.demod = demod
+        self.deemph = None  # set by core/fuse.py when an FMDeemph follows
+
+    def absorb_deemph(self, deemph) -> None:
+        self.deemph = deemph
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        in_spec.require_complex("FMBasebandFused")
+        bb = self.bb
+        fs = in_spec.rate_hz
+        if bb.out_rate is not None:
+            bb.decim = max(1, int(fs / bb.out_rate))
+        in_spec.require_block_multiple("FMBasebandFused", bb.decim)
+        if bb.design == "ref":
+            k = firdesign.ref_complex_bandpass(bb.order, bb.ff, bb.width, fs)
+        else:
+            k = firdesign.complex_bandpass(bb.order, bb.ff, bb.width, fs)
+        g = fused_baseband_taps(k, bb.fc, fs, bb.decim)
+        t = len(g)
+        w = 2 * np.pi * bb.fc / fs
+        self._offset = bb.decim - 1
+        self._g2 = g * np.exp(-1j * w * (np.arange(t) - (t - 1)
+                                         + self._offset))
+        self._decim = bb.decim
+        self._t = t
+        self._rot = np.exp(-1j * w * bb.decim)
+        self._gain = float(self.demod.gain)
+        self._rot_c = cplx.constant(self._rot, in_spec.real_dtype
+                                    if in_spec.plane_dtype is None
+                                    else jnp.float32)
+        if self.deemph is not None:
+            import math
+            out_rate = fs / bb.decim
+            alpha = max(1, int(round(
+                1.0 / (1.0 - math.exp(-1.0 / (out_rate * self.deemph.tau))))))
+            self._dab = (1.0 - 1.0 / alpha, 1.0 / alpha)
+        else:
+            self._dab = None
+        return in_spec.with_(
+            dtype=jnp.float32, plane_dtype=None,
+            sample_rate=in_spec.sample_rate / bb.decim,
+            block_size=in_spec.block_size // bb.decim)
+
+    def init_carry(self):
+        ch = self.in_spec.channels
+        tail = cplx.zeros(ch + (self._t - 1,), self.in_spec.real_dtype)
+        # prev = rot cancels the folded rotation on the very first sample,
+        # matching the unfused graph's initial transient (ops/demod.py).
+        prev = cplx.full_like_phasor(ch) * cplx.constant(self._rot)
+        if self._dab is None:
+            return (tail, prev)
+        return (tail, prev, jnp.zeros(ch, jnp.float32))
+
+    def _demod(self, y: Complex, prev: Complex):
+        shifted = cplx.concatenate([prev[..., None], y[..., :-1]], axis=-1)
+        z = (y * shifted.conj()) * self._rot_c
+        return z.angle() * self._gain
+
+    def _carry_out(self, new_tail, new_prev, dstate):
+        if self._dab is None:
+            return (new_tail, new_prev)
+        return (new_tail, new_prev, dstate)
+
+    def apply(self, carry, x):
+        from libsdr_tpu.ops.iir import iir_first_order
+
+        if self._dab is None:
+            tail, prev = carry
+            dstate = None
+        else:
+            tail, prev, dstate = carry
+        da, db = self._dab if self._dab is not None else (0.0, 0.0)
+        d, t, offset = self._decim, self._t, self._offset
+        b = x.re.shape[-1]
+        n_lead = -(-(t - 1 - offset) // d) if t - 1 > offset else 0
+        s0 = offset + n_lead * d - (t - 1)
+        if b < t - 1 + max(s0, 0) or n_lead <= 0:
+            # Degenerate small-block shape: dense fallback.
+            xc = cplx.concatenate([tail, x], axis=-1)
+            y = _conv1d(xc[..., offset:], self._g2, d)
+            audio = self._demod(y, prev)
+            if self._dab is not None:
+                audio, dstate = iir_first_order(audio, da, db, dstate)
+            new_tail = xc[..., xc.shape[-1] - (t - 1):]
+            return self._carry_out(new_tail, y[..., -1], dstate), audio
+
+        head_len = offset + (n_lead - 1) * d + 1
+        xc_head = cplx.concatenate([tail, x[..., :head_len]], axis=-1)
+        y_lead = _conv1d(xc_head[..., offset:], self._g2, d)
+        audio_lead = self._demod(y_lead, prev)
+        if self._dab is not None:
+            audio_lead, dlead = iir_first_order(audio_lead, da, db, dstate)
+        n_main = (b - s0 - t) // d + 1
+
+        audio_main = None
+        if (x.re.ndim == 2 and x.re.shape[0] >= 64
+                and jax.default_backend() == "tpu"):
+            from libsdr_tpu.ops import pallas_fir_mxu as pfm
+            if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b):
+                audio_full, nsp = pfm.fir_fm_mxu(
+                    x, self._g2, d, s0, y_lead[..., -1:], self._rot,
+                    self._gain,
+                    deemph_ab=self._dab,
+                    deemph_lead=(dlead[..., None]
+                                 if self._dab is not None else None))
+                s_k = pfm._S
+                f_full = b // (d * s_k)
+                n_valid = min(f_full * s_k - nsp, n_main)
+                audio_main = audio_full[..., :n_valid]
+                # Rest outputs, starting one early so the discriminator
+                # chains through output n_valid-1 without kernel exports.
+                rest_from = max(n_valid - 1, 0)
+                y_rest = _conv1d(x[..., s0 + rest_from * d:], self._g2, d)
+                z = (y_rest[..., 1:] * y_rest[..., :-1].conj()) * self._rot_c
+                audio_rest = z.angle() * self._gain
+                if self._dab is not None:
+                    # First-order state == previous deemphasized output, so
+                    # the kernel's last emitted sample seeds the rest chain.
+                    if audio_rest.shape[-1] > 0:
+                        audio_rest, dstate = iir_first_order(
+                            audio_rest, da, db, audio_main[..., -1])
+                    else:
+                        dstate = audio_main[..., -1]
+                audio = jnp.concatenate(
+                    [audio_lead, audio_main, audio_rest], axis=-1)
+                new_prev = y_rest[..., -1]
+        if audio_main is None:
+            y_main = _fir_main(x, self._g2, d, s0)
+            y = cplx.concatenate([y_lead, y_main], axis=-1)
+            audio = self._demod(y, prev)
+            if self._dab is not None:
+                audio, dstate = iir_first_order(audio, da, db, dstate)
+            new_prev = y[..., -1]
+        new_tail = x[..., b - (t - 1):]
+        return self._carry_out(new_tail, new_prev, dstate), audio

@@ -279,3 +279,265 @@ def fir_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
     y = _fir_mxu_call(x.re, x.im, _mats_on_device(taps, stride, offset),
                       stride, interpret=interpret)
     return y, _NSP_PAD
+
+
+# ---------------------------------------------------------------------------
+# Fused FIR + FM discriminator kernel — the whole FM front end in one pass.
+#
+# After the FIR saturates HBM bandwidth, the remaining chain cost is the
+# complex baseband y being written to HBM (0.5x input) and re-read (twice,
+# shifted) by the quadrature discriminator.  This kernel keeps y in
+# registers: per frame it computes y, forms z = y[j] * conj(y[j-1]) * rot
+# (rot = the NCO rotation folded in by core/fuse.py), and writes ONLY the
+# f32 audio.  atan2 is a 6-term odd minimax polynomial (|err| < 2e-5 rad;
+# Mosaic has no atan primitive — the reference itself ships a fast integer
+# atan2 for the same reason, src/math.hh:12-40).
+#
+# The j-1 dependency: within a frame it is a lane roll; across frames the
+# previous frame's last column is at hand; across GRID STEPS a (ct, 1)
+# scratch persists (grid steps run sequentially, frame-tile index minor);
+# at each channel tile's first step the scratch seeds from the lead input
+# (the last lead output, computed by the XLA side from the carry tail).
+# ---------------------------------------------------------------------------
+
+
+def _atan2_poly(y, x):
+    """Full-quadrant atan2 from elementwise primitives, |err| < ~2e-5 rad."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, 1e-30)
+    s = t * t
+    p = jnp.float32(-0.0117212)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262347, 0.99997726):
+        p = p * s + jnp.float32(c)
+    r = t * p
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
+               audio_ref, xr_s, xi_s, hr_s, hi_s, pr_s, pi_s, dp_s, sems, *,
+               ct: int, ft: int, sd: int, b_total: int, precision,
+               rot_re: float, rot_im: float, gain: float, deemph: bool):
+    s = _S
+    ci = pl.program_id(0)
+    wi = pl.program_id(1)
+    n_ci = pl.num_programs(0)
+    n_wi = pl.num_programs(1)
+    step = ci * n_wi + wi
+
+    def start_dmas(slot, ci_, wi_):
+        main = pl.multiple_of(wi_ * (ft * sd), 128)
+        halo = pl.multiple_of(jnp.minimum(main + ft * sd, b_total - sd), 128)
+        row = pl.multiple_of(ci_ * ct, 8)
+        for hbm, scr, hscr, k in ((xr_hbm, xr_s, hr_s, 0),
+                                  (xi_hbm, xi_s, hi_s, 2)):
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(row, ct), pl.ds(main, ft * sd)],
+                scr.at[slot], sems.at[slot, k]).start()
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(row, ct), pl.ds(halo, sd)],
+                hscr.at[slot], sems.at[slot, k + 1]).start()
+
+    def wait_dmas(slot):
+        for k in (0, 2):
+            pltpu.make_async_copy(xr_s.at[slot], xr_s.at[slot],
+                                  sems.at[slot, k]).wait()
+            pltpu.make_async_copy(hr_s.at[slot], hr_s.at[slot],
+                                  sems.at[slot, k + 1]).wait()
+
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        start_dmas(0, ci, wi)
+
+    @pl.when(step + 1 < n_ci * n_wi)
+    def _():
+        nxt_wrap = wi + 1 == n_wi
+        start_dmas(1 - slot,
+                   jnp.where(nxt_wrap, ci + 1, ci),
+                   jnp.where(nxt_wrap, 0, wi + 1))
+
+    wait_dmas(slot)
+
+    # Seed the cross-step y[j-1] scratch at each channel tile's first step
+    # with the last lead output (BlockSpec'd (ct, 1) slice of the lead
+    # input, constant in wi).
+    @pl.when(wi == 0)
+    def _():
+        pr_s[:] = lr_hbm[:]
+        pi_s[:] = li_hbm[:]
+        if deemph:
+            dp_s[:] = dl_hbm[:]
+
+    dn = (((1,), (0,)), ((), ()))
+    m32 = m_ref[:]
+    if precision == "x3":
+        m_hi = m32.astype(jnp.bfloat16)
+        m_lo = (m32 - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(x):
+        if precision == "x3":
+            x_hi = x.astype(jnp.bfloat16)
+            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jax.lax.dot_general(x_hi, m_hi, dn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(x_hi, m_lo, dn,
+                                          preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(x_lo, m_hi, dn,
+                                          preferred_element_type=jnp.float32))
+        return jax.lax.dot_general(x, m32, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    p_r = [mm(xr_s[slot, :, f * sd:(f + 1) * sd]) for f in range(ft)]
+    p_i = [mm(xi_s[slot, :, f * sd:(f + 1) * sd]) for f in range(ft)]
+    p_r.append(mm(hr_s[slot]))
+    p_i.append(mm(hi_s[slot]))
+    col = jax.lax.broadcasted_iota(jnp.int32, (ct, s), 1)
+    prev_r = pr_s[:]
+    prev_i = pi_s[:]
+    if deemph:
+        # dm rows [0:s] = Lb (Lb[m, j] = b * a^(j-m), m <= j); row s = a^(j+1).
+        dmat = dm_ref[:s, :]
+        dpow = dm_ref[s:s + 1, :]
+        dprev = dp_s[:]
+    for f in range(ft):
+        yr = p_r[f][:, :s] - p_i[f][:, s:2 * s]
+        yi = p_i[f][:, :s] + p_r[f][:, s:2 * s]
+        nr, ni = p_r[f + 1], p_i[f + 1]
+        yr = yr + (nr[:, 2 * s:3 * s] - ni[:, 3 * s:])
+        yi = yi + (ni[:, 2 * s:3 * s] + nr[:, 3 * s:])
+        # y[j-1]: lane roll, column 0 patched with the carried value.
+        ypr = jnp.where(col == 0, prev_r, pltpu.roll(yr, 1, axis=1))
+        ypi = jnp.where(col == 0, prev_i, pltpu.roll(yi, 1, axis=1))
+        # z = y * conj(y_prev) * rot
+        zr = yr * ypr + yi * ypi
+        zi = yi * ypr - yr * ypi
+        zr2 = zr * jnp.float32(rot_re) - zi * jnp.float32(rot_im)
+        zi2 = zr * jnp.float32(rot_im) + zi * jnp.float32(rot_re)
+        au = jnp.float32(gain) * _atan2_poly(zi2, zr2)
+        if deemph:
+            # In-frame de-emphasis via the impulse-response matmul plus the
+            # carried state (state == previous deemphasized output).
+            au = (jax.lax.dot_general(
+                      au, dmat, (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+                  + dprev * dpow)
+            dprev = au[:, s - 1:s]
+        audio_ref[:, f * s:(f + 1) * s] = au
+        prev_r = yr[:, s - 1:s]
+        prev_i = yi[:, s - 1:s]
+    pr_s[:] = prev_r
+    pi_s[:] = prev_i
+    if deemph:
+        dp_s[:] = dprev
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "rot_re", "rot_im",
+                                             "gain", "deemph", "interpret"))
+def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
+                 rot_re: float, rot_im: float, gain: float,
+                 deemph: bool = False, interpret: bool = False):
+    c, b = xr.shape
+    sd = _S * stride
+    ct = min(c, _CT)
+    f_total = b // sd
+    grid = (c // ct, f_total // _FT)
+    n_out = f_total * _S
+    ncols = 2 * _S + 2 * _NSP_PAD
+    return pl.pallas_call(
+        functools.partial(_kernel_fm, ct=ct, ft=_FT, sd=sd, b_total=b,
+                          precision=_PRECISION, rot_re=rot_re,
+                          rot_im=rot_im, gain=gain, deemph=deemph),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((sd, ncols), lambda ci, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_S + 8, _S), lambda ci, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ct, _FT * _S), lambda ci, wi: (ci, wi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
+            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
+            pltpu.VMEM((2, ct, sd), jnp.float32),
+            pltpu.VMEM((2, ct, sd), jnp.float32),
+            pltpu.VMEM((ct, 1), jnp.float32),
+            pltpu.VMEM((ct, 1), jnp.float32),
+            pltpu.VMEM((ct, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * c * (f_total + f_total // _FT) * sd * ncols,
+            bytes_accessed=4 * (2 * c * b + c * n_out),
+            transcendentals=c * n_out),
+        interpret=interpret,
+    )(xr, xi, m, lead_r, lead_i, dmat, dlead)
+
+
+_DEEMPH_CACHE: dict = {}
+
+
+def _deemph_mat(a: float, b: float) -> np.ndarray:
+    """(S+8, S) f32: rows [0:S] = Lb[m, j] = b * a^(j-m) (m <= j),
+    row S = a^(j+1) (the carried-state weights); padding rows zero."""
+    key = (float(a), float(b), _S)
+    m = _DEEMPH_CACHE.get(key)
+    if m is None:
+        j = np.arange(_S)
+        e = j[None, :] - j[:, None]
+        lb = np.where(e >= 0, b * np.power(float(a), np.maximum(e, 0)), 0.0)
+        m = np.zeros((_S + 8, _S), np.float64)
+        m[:_S] = lb
+        m[_S] = np.power(float(a), j + 1)
+        m = m.astype(np.float32)
+        _DEEMPH_CACHE[key] = m
+    return m
+
+
+def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
+               lead_last: Complex, rot: complex, gain: float,
+               deemph_ab=None, deemph_lead=None,
+               interpret: bool = False) -> Tuple[jnp.ndarray, int]:
+    """Fused decimating FIR + quadrature FM discriminator (+ optional
+    first-order de-emphasis): returns (audio, nsp) where audio[j] = gain *
+    angle(y[j] * conj(y[j-1]) * rot), optionally run through
+    y'[j] = a*y'[j-1] + b*audio[j], for the in-block outputs (same frame
+    layout and garbage-tail contract as :func:`fir_mxu`).
+
+    ``lead_last`` is y[-1] (the last lead output) as (C, 1) planar Complex;
+    ``deemph_ab`` = (a, b) coefficients, ``deemph_lead`` = (C, 1) f32
+    de-emphasis state after the lead outputs."""
+    taps = np.asarray(taps)
+    if not np.iscomplexobj(taps):
+        taps = taps.astype(np.complex128)
+    rot = complex(rot)
+    c = x.re.shape[0]
+    use_deemph = deemph_ab is not None
+    if use_deemph:
+        dmat = jnp.asarray(_deemph_mat(*deemph_ab))
+        dlead = deemph_lead
+    else:
+        dmat = jnp.zeros((_S + 8, _S), jnp.float32)
+        dlead = jnp.zeros((c, 1), jnp.float32)
+    audio = _fir_fm_call(x.re, x.im, _mats_on_device(taps, stride, offset),
+                         lead_last.re, lead_last.im, dmat, dlead, stride,
+                         float(rot.real), float(rot.imag), float(gain),
+                         deemph=use_deemph, interpret=interpret)
+    return audio, _NSP_PAD

@@ -2,6 +2,7 @@
 mesh; the real-TPU numeric check + benchmark are documented in
 libsdr_tpu/ops/pallas_fir.py)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -80,3 +81,44 @@ def test_pallas_mxu_fir_matches_oracle(rng):
                         for c in range(C)])
         err = np.abs(got[:, j] - orc).max() / (np.abs(orc).max() + 1e-30)
         assert err < 1e-4, (j, err)
+
+
+def test_pallas_fused_fm_kernel_matches_oracle(rng):
+    """fir_fm_mxu (fused FIR + discriminator + de-emphasis) vs a numpy
+    oracle, covering lead seeding, in-frame/cross-frame/cross-step prev
+    chaining and the deemph state chain (interpret mode)."""
+    from libsdr_tpu.ops.pallas_fir_mxu import (_FT, _S, fir_fm_mxu,
+                                               mxu_fir_supported)
+
+    C, D, T, s0 = 8, 2, 37, 1
+    SD = _S * D
+    B = 2 * _FT * SD
+    assert mxu_fir_supported(T, D, s0, C, B)
+    x = (rng.normal(size=(C, B)) + 1j * rng.normal(size=(C, B))
+         ).astype(np.complex64)
+    g = (rng.normal(size=T) + 1j * rng.normal(size=T))
+    rot = np.exp(-0.37j)
+    gain = 1.7
+    a, bcoef = 0.93, 0.07
+    lead = (rng.normal(size=(C, 1)) + 1j * rng.normal(size=(C, 1))
+            ).astype(np.complex64)
+    xb = cplx.as_block(x)
+    dlead = rng.normal(size=(C, 1)).astype(np.float32)
+    audio, nsp = fir_fm_mxu(xb, g, D, s0, cplx.as_block(lead), rot, gain,
+                            deemph_ab=(a, bcoef),
+                            deemph_lead=jnp.asarray(dlead),
+                            interpret=True)
+    got = np.asarray(audio)
+    n_valid = got.shape[-1] - nsp
+
+    xc = x.astype(np.complex128)
+    for c in (0, 5):
+        y_prev = complex(lead[c, 0])
+        dstate = float(dlead[c, 0])
+        for j in range(min(n_valid, 3 * _S + 5)):
+            y = np.dot(g, xc[c, s0 + j * D:s0 + j * D + T])
+            au = gain * np.angle(y * np.conj(y_prev) * rot)
+            dstate = a * dstate + bcoef * au
+            assert abs(got[c, j] - dstate) < 5e-3 * max(1.0, abs(dstate)), \
+                (c, j, got[c, j], dstate)
+            y_prev = y
