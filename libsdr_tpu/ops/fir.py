@@ -281,7 +281,8 @@ def _try_pallas_mxu(x, taps, stride: int, s0: int):
         taps_np = taps_np.astype(np.complex128)
     c, b = x.re.shape
     from libsdr_tpu.ops import pallas_fir_mxu as pfm
-    if not pfm.mxu_fir_supported(taps_np.shape[0], stride, s0, c, b):
+    if not pfm.mxu_fir_supported(taps_np.shape[0], stride, s0, c, b,
+                                 dtype=x.re.dtype):
         return None
     y, nsp = pfm.fir_mxu(x, taps_np, stride, s0)
     return y, nsp, pfm._S

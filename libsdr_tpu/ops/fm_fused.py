@@ -130,10 +130,14 @@ class FMBasebandFused(Processor):
         n_main = (b - s0 - t) // d + 1
 
         audio_main = None
-        if (x.re.ndim == 2 and x.re.shape[0] >= 64
+        from libsdr_tpu.ops import fir as fir_mod
+        if (fir_mod.USE_PALLAS_MXU  # the documented kill switch covers the
+                # fused kernel too (it subsumes the Pallas FIR backend)
+                and x.re.ndim == 2 and x.re.shape[0] >= 64
                 and jax.default_backend() == "tpu"):
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
-            if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b):
+            if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b,
+                                     dtype=x.re.dtype):
                 audio_full, nsp = pfm.fir_fm_mxu(
                     x, self._g2, d, s0, y_lead[..., -1:], self._rot,
                     self._gain,

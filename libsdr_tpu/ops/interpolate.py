@@ -10,7 +10,8 @@ We *generate* an equivalent bank from first principles — Blackman-windowed
 sinc fractional-delay filters with unity DC gain — rather than shipping the
 table as data.  Quality is equivalent (the reference's table is the classic
 MMSE interpolator; windowed sinc matches it to ~-60 dB for band-limited
-signals, verified in tests/test_resample.py).
+signals, verified in tests/test_ops.py::test_resampler_tone_fidelity and
+::test_resampler_upsample).
 """
 
 from __future__ import annotations

@@ -59,25 +59,65 @@ from libsdr_tpu.core.cplx import Complex
 
 _S = 128          # outputs per frame
 _NSP_PAD = 128    # spill column group width (>= ceil((T-1+offset)/stride))
-_FT = 8           # frames per grid step (16+ exceeds the 16 MB VMEM)
+_FT = 8           # max frames per grid step (shrunk to fit VMEM, see _ft_for)
 _CT = 128         # channels per grid step (full MXU rows)
 # 'x3': manual 3-pass bf16 split (~1e-5 rel err, equals XLA's HIGH; Mosaic
 # itself only lowers DEFAULT/HIGHEST).  'highest': one f32 dot at bf16x6.
 _PRECISION = "x3"
+# Scratch budget: VMEM is 16 MB/core; leave headroom for the compiler's own
+# temporaries (matrix bf16 hi/lo copies, register spills).
+_VMEM_BUDGET = 13_500_000
+
+# Input planes may be float32 or bfloat16 (AutoCast(compute='bfloat16')
+# ingest): bf16 halves the input DMA traffic; the matmul accumulates in f32
+# either way.  Scratch dtype follows the input.
+_OK_DTYPES = (jnp.float32, jnp.bfloat16)
+
+
+def _scratch_bytes(stride: int, ct: int, ft: int, itemsize: int) -> int:
+    """Declared VMEM bytes for one kernel invocation (both planar FIR
+    variants are bounded by the same buffers; the fm variant's audio output
+    is half the fir variant's two planes)."""
+    sd = _S * stride
+    ncols = 2 * _S + 2 * _NSP_PAD
+    main = 2 * 2 * ct * ft * sd * itemsize      # 2 slots x 2 planes
+    halo = 2 * 2 * ct * sd * itemsize
+    mat = 2 * sd * ncols * 4                    # pipelined input block (x2)
+    outs = 2 * 2 * ct * ft * _S * 4             # pipelined outputs (x2)
+    return main + halo + mat + outs
+
+
+def _ft_for(stride: int, channels: int, block: int, itemsize: int) -> int:
+    """Largest frames-per-step in {8, 4, 2, 1} whose scratch fits the VMEM
+    budget and that tiles the block (0 when none does)."""
+    ct = min(channels, _CT)
+    sd = _S * stride
+    for ft in (8, 4, 2, 1):
+        if block % (ft * sd) == 0 and block // (ft * sd) >= 2 \
+                and _scratch_bytes(stride, ct, ft, itemsize) <= _VMEM_BUDGET:
+            return ft
+    return 0
 
 
 def mxu_fir_supported(taps_len: int, stride: int, offset: int,
-                      channels: int, block: int) -> bool:
-    """Shape gate for the kernel (callers fall back to the XLA matmul)."""
+                      channels: int, block: int,
+                      dtype=jnp.float32) -> bool:
+    """Shape/dtype/VMEM gate for the kernel (callers fall back to the XLA
+    matmul)."""
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(d) for d in _OK_DTYPES):
+        return False
+    itemsize = dtype.itemsize
     sd = _S * stride
     nsp = -(-(taps_len - 1 + offset) // stride)
     ct = min(channels, _CT)
+    # bf16 HBM tiles are (16, 128): row offsets must stay 16-aligned.
+    ct_align = 16 if itemsize == 2 else 8
     return (stride > 1
             and nsp <= _NSP_PAD
             and offset + taps_len <= sd + stride
-            and channels % ct == 0 and ct % 8 == 0
-            and block % (_FT * sd) == 0
-            and block // (_FT * sd) >= 2)
+            and channels % ct == 0 and ct % ct_align == 0
+            and _ft_for(stride, channels, block, itemsize) > 0)
 
 
 def _build_mats(taps: np.ndarray, stride: int, offset: int) -> np.ndarray:
@@ -102,6 +142,44 @@ def _build_mats(taps: np.ndarray, stride: int, offset: int) -> np.ndarray:
             c[:t - n_in, ss - s_first] = taps[n_in:]
     m = np.concatenate([a.real, a.imag, c.real, c.imag], axis=1)
     return m.astype(np.float32)
+
+
+def _make_mm(m_ref, precision):
+    """Per-frame MXU matmul closure over the Toeplitz matrix, dispatched on
+    the input plane dtype (f32: manual multi-pass bf16 split; bf16 planes:
+    2-pass against the split matrix — the data itself is already bf16)."""
+    dn = (((1,), (0,)), ((), ()))
+    m32 = m_ref[:]
+    m_hi = m32.astype(jnp.bfloat16)
+    m_lo = (m32 - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(x):
+        if x.dtype == jnp.bfloat16:
+            # bf16 input planes (lossless for 8-bit sources): keep the
+            # matrix hi/lo split so the FIR itself stays ~f32-accurate.
+            return (jax.lax.dot_general(x, m_hi, dn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(x, m_lo, dn,
+                                          preferred_element_type=jnp.float32))
+        if precision == "x1":  # perf probe only: 1-pass bf16
+            return jax.lax.dot_general(
+                x.astype(jnp.bfloat16), m_hi, dn,
+                preferred_element_type=jnp.float32)
+        if precision == "x3":
+            # Manual 3-pass bf16 emulation of an f32 matmul (== XLA HIGH).
+            x_hi = x.astype(jnp.bfloat16)
+            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jax.lax.dot_general(x_hi, m_hi, dn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(x_hi, m_lo, dn,
+                                          preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(x_lo, m_hi, dn,
+                                          preferred_element_type=jnp.float32))
+        return jax.lax.dot_general(x, m32, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    return mm
 
 
 def _kernel(xr_hbm, xi_hbm, m_ref, yr_ref, yi_ref, xr_s, xi_s, hr_s, hi_s,
@@ -149,30 +227,7 @@ def _kernel(xr_hbm, xi_hbm, m_ref, yr_ref, yi_ref, xr_s, xi_s, hr_s, hi_s,
                    jnp.where(nxt_wrap, 0, wi + 1))
 
     wait_dmas(slot)
-    dn = (((1,), (0,)), ((), ()))
-    m32 = m_ref[:]
-    if precision in ("x3", "x1"):
-        m_hi = m32.astype(jnp.bfloat16)
-        m_lo = (m32 - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(x):
-        if precision == "x1":  # perf probe only: 1-pass bf16
-            return jax.lax.dot_general(
-                x.astype(jnp.bfloat16), m_hi, dn,
-                preferred_element_type=jnp.float32)
-        if precision == "x3":
-            # Manual 3-pass bf16 emulation of an f32 matmul (== XLA HIGH).
-            x_hi = x.astype(jnp.bfloat16)
-            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (jax.lax.dot_general(x_hi, m_hi, dn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(x_hi, m_lo, dn,
-                                          preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(x_lo, m_hi, dn,
-                                          preferred_element_type=jnp.float32))
-        return jax.lax.dot_general(x, m32, dn,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+    mm = _make_mm(m_ref, precision)
 
     # One (CT, SD) x (SD, 512) matmul per frame — pure lane slices, no
     # reshapes.  ft+1 products: ft frames + the halo frame for spill.
@@ -191,17 +246,17 @@ def _kernel(xr_hbm, xi_hbm, m_ref, yr_ref, yi_ref, xr_s, xi_s, hr_s, hi_s,
             ni[:, 2 * s:3 * s] + nr[:, 3 * s:])
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
-def _fir_mxu_call(xr, xi, m, stride: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("stride", "ft", "interpret"))
+def _fir_mxu_call(xr, xi, m, stride: int, ft: int, interpret: bool = False):
     c, b = xr.shape
     sd = _S * stride
     ct = min(c, _CT)
     f_total = b // sd
-    grid = (c // ct, f_total // _FT)
+    grid = (c // ct, f_total // ft)
     n_out = f_total * _S
     ncols = 2 * _S + 2 * _NSP_PAD
     out = pl.pallas_call(
-        functools.partial(_kernel, ct=ct, ft=_FT, sd=sd, b_total=b,
+        functools.partial(_kernel, ct=ct, ft=ft, sd=sd, b_total=b,
                           precision=_PRECISION),
         grid=grid,
         in_specs=[
@@ -211,23 +266,23 @@ def _fir_mxu_call(xr, xi, m, stride: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ct, _FT * _S), lambda ci, wi: (ci, wi),
+            pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, _FT * _S), lambda ci, wi: (ci, wi),
+            pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((c, n_out), jnp.float32),
                    jax.ShapeDtypeStruct((c, n_out), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
-            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
-            pltpu.VMEM((2, ct, sd), jnp.float32),
-            pltpu.VMEM((2, ct, sd), jnp.float32),
+            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+            pltpu.VMEM((2, ct, sd), xr.dtype),
+            pltpu.VMEM((2, ct, sd), xr.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * c * (f_total + f_total // _FT) * sd * ncols,
-            bytes_accessed=4 * 2 * c * (b + n_out),
+            flops=2 * 2 * c * (f_total + f_total // ft) * sd * ncols,
+            bytes_accessed=xr.dtype.itemsize * 2 * c * b + 4 * 2 * c * n_out,
             transcendentals=0),
         interpret=interpret,
     )(xr, xi, m)
@@ -236,6 +291,19 @@ def _fir_mxu_call(xr, xi, m, stride: int, interpret: bool = False):
 
 _MAT_CACHE_NP: dict = {}
 _MAT_CACHE_DEV: dict = {}
+
+
+def _tracing_active() -> bool:
+    """True when called under a JAX trace (jit/scan/...).  Device-array
+    caching must be skipped there: a cached concrete array created inside
+    one trace must not leak into later traces.  Uses the private
+    trace-state probe when available, else conservatively reports True
+    (the fallback path just rebuilds jnp.asarray each call)."""
+    try:
+        from jax._src import core as _core
+        return not _core.trace_state_clean()
+    except Exception:
+        return True
 
 
 def _mats_on_device(taps: np.ndarray, stride: int, offset: int):
@@ -255,8 +323,7 @@ def _mats_on_device(taps: np.ndarray, stride: int, offset: int):
         if len(_MAT_CACHE_NP) > 64:
             _MAT_CACHE_NP.clear()
         _MAT_CACHE_NP[key] = m_np
-    from jax._src import core as _core
-    if not _core.trace_state_clean():
+    if _tracing_active():
         return jnp.asarray(m_np)  # trace-time constant, folds into the jit
     m = _MAT_CACHE_DEV.get(key)
     if m is None:
@@ -276,8 +343,10 @@ def fir_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
     ``nsp`` are invalid (they need next-block data) — identical contract to
     ops.fir._fir_matmul."""
     taps = np.asarray(taps)
+    c, b = x.re.shape
+    ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
     y = _fir_mxu_call(x.re, x.im, _mats_on_device(taps, stride, offset),
-                      stride, interpret=interpret)
+                      stride, ft, interpret=interpret)
     return y, _NSP_PAD
 
 
@@ -374,25 +443,7 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
         if deemph:
             dp_s[:] = dl_hbm[:]
 
-    dn = (((1,), (0,)), ((), ()))
-    m32 = m_ref[:]
-    if precision == "x3":
-        m_hi = m32.astype(jnp.bfloat16)
-        m_lo = (m32 - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(x):
-        if precision == "x3":
-            x_hi = x.astype(jnp.bfloat16)
-            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (jax.lax.dot_general(x_hi, m_hi, dn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(x_hi, m_lo, dn,
-                                          preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(x_lo, m_hi, dn,
-                                          preferred_element_type=jnp.float32))
-        return jax.lax.dot_general(x, m32, dn,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+    mm = _make_mm(m_ref, precision)
 
     p_r = [mm(xr_s[slot, :, f * sd:(f + 1) * sd]) for f in range(ft)]
     p_i = [mm(xi_s[slot, :, f * sd:(f + 1) * sd]) for f in range(ft)]
@@ -439,20 +490,21 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
         dp_s[:] = dprev
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "rot_re", "rot_im",
-                                             "gain", "deemph", "interpret"))
+@functools.partial(jax.jit, static_argnames=("stride", "ft", "rot_re",
+                                             "rot_im", "gain", "deemph",
+                                             "interpret"))
 def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
-                 rot_re: float, rot_im: float, gain: float,
+                 ft: int, rot_re: float, rot_im: float, gain: float,
                  deemph: bool = False, interpret: bool = False):
     c, b = xr.shape
     sd = _S * stride
     ct = min(c, _CT)
     f_total = b // sd
-    grid = (c // ct, f_total // _FT)
+    grid = (c // ct, f_total // ft)
     n_out = f_total * _S
     ncols = 2 * _S + 2 * _NSP_PAD
     return pl.pallas_call(
-        functools.partial(_kernel_fm, ct=ct, ft=_FT, sd=sd, b_total=b,
+        functools.partial(_kernel_fm, ct=ct, ft=ft, sd=sd, b_total=b,
                           precision=_PRECISION, rot_re=rot_re,
                           rot_im=rot_im, gain=gain, deemph=deemph),
         grid=grid,
@@ -470,22 +522,22 @@ def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
             pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ct, _FT * _S), lambda ci, wi: (ci, wi),
+        out_specs=pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, n_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
-            pltpu.VMEM((2, ct, _FT * sd), jnp.float32),
-            pltpu.VMEM((2, ct, sd), jnp.float32),
-            pltpu.VMEM((2, ct, sd), jnp.float32),
+            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+            pltpu.VMEM((2, ct, sd), xr.dtype),
+            pltpu.VMEM((2, ct, sd), xr.dtype),
             pltpu.VMEM((ct, 1), jnp.float32),
             pltpu.VMEM((ct, 1), jnp.float32),
             pltpu.VMEM((ct, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * c * (f_total + f_total // _FT) * sd * ncols,
-            bytes_accessed=4 * (2 * c * b + c * n_out),
+            flops=2 * 2 * c * (f_total + f_total // ft) * sd * ncols,
+            bytes_accessed=(xr.dtype.itemsize * 2 * c * b + 4 * c * n_out),
             transcendentals=c * n_out),
         interpret=interpret,
     )(xr, xi, m, lead_r, lead_i, dmat, dlead)
@@ -536,8 +588,14 @@ def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
     else:
         dmat = jnp.zeros((_S + 8, _S), jnp.float32)
         dlead = jnp.zeros((c, 1), jnp.float32)
+    b = x.re.shape[-1]
+    ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
+    # The prev-sample / deemph-state scratches are f32 regardless of the
+    # input plane dtype (bf16 ingest); normalize the tiny lead inputs.
     audio = _fir_fm_call(x.re, x.im, _mats_on_device(taps, stride, offset),
-                         lead_last.re, lead_last.im, dmat, dlead, stride,
-                         float(rot.real), float(rot.imag), float(gain),
+                         lead_last.re.astype(jnp.float32),
+                         lead_last.im.astype(jnp.float32),
+                         dmat, dlead.astype(jnp.float32), stride,
+                         ft, float(rot.real), float(rot.imag), float(gain),
                          deemph=use_deemph, interpret=interpret)
     return audio, _NSP_PAD

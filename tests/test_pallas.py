@@ -83,6 +83,55 @@ def test_pallas_mxu_fir_matches_oracle(rng):
         assert err < 1e-4, (j, err)
 
 
+def test_pallas_mxu_fir_bf16_planes(rng):
+    """bf16 input planes (AutoCast(compute='bfloat16') ingest) through the
+    MXU kernel on a >=64-channel bank: supported by the gate, runs in
+    interpret mode, and matches the f32 kernel to bf16 quantization error
+    (the kernel's scratch/DMA dtype follows the input)."""
+    import jax.numpy as jnp
+    from libsdr_tpu.core.cplx import Complex
+    from libsdr_tpu.ops.pallas_fir_mxu import (_ft_for, _S, fir_mxu,
+                                               mxu_fir_supported)
+
+    C, D, T, s0 = 64, 2, 37, 1
+    SD = _S * D
+    ft = _ft_for(D, C, 4 * SD, 2)
+    B = 2 * ft * SD
+    assert mxu_fir_supported(T, D, s0, C, B, dtype=jnp.bfloat16)
+    x = (rng.normal(size=(C, B)) + 1j * rng.normal(size=(C, B))
+         ).astype(np.complex64)
+    g = rng.normal(size=T) + 1j * rng.normal(size=T)
+    xb = cplx.as_block(x)
+    xb16 = Complex(xb.re.astype(jnp.bfloat16), xb.im.astype(jnp.bfloat16))
+    y32, nsp = fir_mxu(xb, g, D, s0, interpret=True)
+    y16, _ = fir_mxu(xb16, g, D, s0, interpret=True)
+    a = cplx.to_numpy(y32)[:, :-nsp]
+    b = cplx.to_numpy(y16)[:, :-nsp]
+    # bf16 has 8 mantissa bits: ~0.4% elementwise, amplified ~sqrt(T) by the
+    # dot product.  The point is correctness of the dispatch, not precision.
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.05
+    assert np.median(np.abs(a - b)) / np.abs(a).max() < 0.01
+
+
+def test_pallas_mxu_vmem_gate():
+    """Configurations whose scratch would exceed VMEM shrink frames-per-step
+    instead of failing Mosaic allocation; truly impossible ones are rejected
+    by the gate (falling back to the XLA matmul)."""
+    from libsdr_tpu.ops.pallas_fir_mxu import (_ft_for, _S, _scratch_bytes,
+                                               _VMEM_BUDGET,
+                                               mxu_fir_supported)
+
+    # decim=8, 128 channels: ft=8 scratch (~17 MB) must NOT be chosen.
+    assert _scratch_bytes(8, 128, 8, 4) > _VMEM_BUDGET
+    big_b = 4 * 8 * _S * 8
+    ft = _ft_for(8, 128, big_b, 4)
+    assert 0 < ft < 8
+    assert _scratch_bytes(8, 128, ft, 4) <= _VMEM_BUDGET
+    assert mxu_fir_supported(65, 8, 7, 128, big_b)
+    # Unsupported dtype is rejected outright.
+    assert not mxu_fir_supported(65, 8, 7, 128, big_b, dtype=np.int16)
+
+
 def test_pallas_fused_fm_kernel_matches_oracle(rng):
     """fir_fm_mxu (fused FIR + discriminator + de-emphasis) vs a numpy
     oracle, covering lead seeding, in-frame/cross-frame/cross-step prev
