@@ -90,6 +90,17 @@ def fuse_stages(stages: List) -> List:
                 i += 1
             out.append(fused)
             continue
+        from libsdr_tpu.ops.channelizer import Channelizer
+        if (type(st) is Channelizer and _demod_takes_rot(nxt)
+                and not nxt._pending_rot_freqs and _on_tpu()):
+            # Channelizer -> FMDemod: one Pallas pass over the wideband
+            # stream writing only audio (ops/wideband_rx.py); 'channel'
+            # layout keeps the pair's exact (M, t) output contract.
+            from libsdr_tpu.ops.wideband_rx import WidebandFM
+            out.append(WidebandFM(st.m, st.p, gain=float(nxt.gain),
+                                  prototype=st._proto, layout="channel"))
+            i += 2
+            continue
         if (isinstance(st, IQBaseBand) and st.fc != 0.0
                 and (_demod_takes_rot(nxt) or isinstance(nxt, AMDemod))):
             st.fold_nco = True
