@@ -44,6 +44,26 @@ def global_mesh(axis_names: Sequence[str] = ("ch", "time"),
     return Mesh(devs[: (n // t) * t].reshape(n // t, t), tuple(axis_names))
 
 
+def place_global(x, mesh: Mesh, spec) -> jax.Array:
+    """Place host data as a global array over ``mesh`` with PartitionSpec
+    ``spec`` — works in BOTH single- and multi-process runs.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: each process
+    materializes only the shards on ITS OWN devices
+    (``jax.make_array_from_callback`` asks for addressable shards only) —
+    this IS the host-sharded ingest contract: with channels/time sharded
+    across hosts, each host reads only its own capture range
+    (:func:`process_local_batch`), never the full stream."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x_np = np.asarray(x)
+    return jax.make_array_from_callback(x_np.shape, sharding,
+                                        lambda idx: x_np[idx])
+
+
 def process_local_batch(global_channels: int) -> slice:
     """The channel range this host should feed (host-sharded ingest: each
     host reads only its own capture segment — the multi-host replacement for

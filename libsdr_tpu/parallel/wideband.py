@@ -122,18 +122,25 @@ def _wideband_body(hist_global, prev_local, x_local, taps, m: int, p: int,
 
 
 def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
-    """(init_carry, place_input) shared by the wideband/scanner builders."""
+    """(init_carry, place_input) shared by the wideband/scanner builders.
+
+    Placement goes through :func:`parallel.distributed.place_global`, so the
+    same builders run unchanged in multi-process (DCN) deployments — each
+    host then materializes only its own shards (host-sharded ingest)."""
+    from libsdr_tpu.parallel.distributed import place_global
+
     def init_carry():
-        hist = jax.device_put(cplx.zeros((p, m)),
-                              NamedSharding(mesh, P()))
-        prev = jax.device_put(cplx.full_like_phasor((m,)),
-                              NamedSharding(mesh, P(axis)))
+        hist = jax.tree_util.tree_map(
+            lambda a: place_global(a, mesh, P()), cplx.zeros((p, m)))
+        prev = jax.tree_util.tree_map(
+            lambda a: place_global(a, mesh, P(axis)),
+            cplx.full_like_phasor((m,)))
         return (hist, prev)
 
     def place_input(x):
         xb = cplx.as_block(x)
         return jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), xb)
+            lambda a: place_global(a, mesh, P(axis)), xb)
 
     return init_carry, place_input
 
@@ -206,10 +213,11 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
     wb_init, place_input = _wideband_carry_and_place(mesh, m, p, axis)
 
     def init_carry():
+        from libsdr_tpu.parallel.distributed import place_global
         hist, prev = wb_init()
         bsc = jax.tree_util.tree_map(
-            lambda v: jax.device_put(
-                v, NamedSharding(mesh, P() if v.ndim == 0 else P(axis))),
+            lambda v: place_global(
+                v, mesh, P() if v.ndim == 0 else P(axis)),
             bs_g.init_carry())
         return (hist, prev, bsc)
 

@@ -1,0 +1,80 @@
+"""Multi-host (multi-process) execution of the sharded wideband pipeline.
+
+Launches a REAL 2-process ``jax.distributed`` CPU cluster (4 virtual
+devices per process -> 8 global devices), runs two chained wideband steps
+over the GLOBAL mesh (time-sharded channelizer with ppermute halos,
+all_to_all reshard, channel-sharded demod) with host-sharded ingest
+(each process materializes only its own shards), and checks the
+reassembled output equals the single-process 8-device run bit-for-bit.
+
+This executes every layer of parallel/distributed.py: init_multihost,
+the global mesh, and place_global's host-sharded ingest path.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_wideband_matches_single_process(tmp_path):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    nproc = 2
+    outs = [str(tmp_path / f"w{i}.npz") for i in range(nproc)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(ROOT, "tests",
+                                          "_distributed_worker.py"),
+             coordinator, str(nproc), str(i), outs[i]],
+            cwd=ROOT, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i]}"
+
+    # Reassemble the channel-sharded audio from both workers' shards.
+    m = 8
+    rows = {}
+    for path in outs:
+        with np.load(path) as z:
+            for k in z.files:
+                rows[int(k.split("_")[1])] = z[k]
+    got = np.concatenate([rows[r] for r in sorted(rows)], axis=0)
+    assert got.shape[0] == m
+
+    # Single-process reference on this process's own 8 virtual devices
+    # (conftest forces the same backend and device count).
+    import jax
+    from jax.sharding import Mesh
+    from libsdr_tpu.parallel.wideband import build_wideband_step
+
+    n = 8
+    mesh1d = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+    block = m * n * 32
+    step, init_carry, place_input = build_wideband_step(mesh1d, m, block)
+    rng = np.random.default_rng(99)
+    x = (rng.normal(size=block) + 1j * rng.normal(size=block)
+         ).astype(np.complex64)
+    carry = init_carry()
+    ref = None
+    for _ in range(2):
+        carry, ref = step(carry, place_input(x))
+    np.testing.assert_array_equal(got, np.asarray(ref))
