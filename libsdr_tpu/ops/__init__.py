@@ -25,13 +25,15 @@ from libsdr_tpu.ops.fft import fft
 from libsdr_tpu.ops.fftfilter import FFTFilterBank
 from libsdr_tpu.ops.channelizer import Channelizer
 from libsdr_tpu.ops.wideband_rx import WidebandFM
-from libsdr_tpu.ops.fixedpoint import FMDemodInt, fast_atan2_i16
+from libsdr_tpu.ops.fixedpoint import (FMDemodInt, FMDeemphInt,
+                                        IQBaseBandInt, fast_atan2_i16)
 from libsdr_tpu.ops.debug import BitDump, DebugStore, TextDump
 from libsdr_tpu.ops.utils import AutoCast, Deinterleave
 
 __all__ = [
     "FSKDetector", "ASKDetector", "BitStream", "BPSK31", "BaseBand",
-    "fft", "FFTFilterBank", "Channelizer", "WidebandFM", "FMDemodInt", "fast_atan2_i16",
+    "fft", "FFTFilterBank", "Channelizer", "WidebandFM", "FMDemodInt",
+    "FMDeemphInt", "IQBaseBandInt", "fast_atan2_i16",
     "BitDump", "DebugStore", "TextDump", "AutoCast", "Deinterleave",
     "firdesign", "FIRFilter", "fir_overlap_save", "FreqShift", "IQBaseBand",
     "AMDemod", "USBDemod", "FMDemod", "FMDeemph", "iir_first_order",

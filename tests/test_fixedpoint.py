@@ -66,3 +66,133 @@ def test_fm_demod_int_matches_python_loop(rng):
         want.append(d)
         last = phi
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# Integer IQBaseBand chain (reference: src/baseband.hh int16 path)
+# ---------------------------------------------------------------------------
+
+def _iqbaseband_int_oracle(x, fc, ff, width, order, sub, fs):
+    """Per-sample numpy loop faithful to the C++ int16 IQBaseBand
+    (src/baseband.hh:198-236 + freqshift.hh:58-87), independent of the
+    vectorized op.  Returns the emitted complex-int16 stream."""
+    from libsdr_tpu.ops.fixedpoint import ref_nco_lut, ref_q14_kernel
+
+    def w32(a):
+        return ((int(a) + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
+
+    def w16(a):
+        return ((int(a) + (1 << 15)) & 0xFFFF) - (1 << 15)
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a >= 0) == (b >= 0) else -1)
+
+    k = ref_q14_kernel(order, ff, width, fs)
+    kr = [int(v) for v in k.real]
+    ki = [int(v) for v in k.imag]
+    lut = ref_nco_lut()
+    lut_inc = int(128 * 256 * abs(fc) / fs)
+    lut_count = 0
+    ring = [(0, 0)] * order
+    pos = 0
+    last_r = last_i = 0
+    count = 0
+    out = []
+    for n in range(len(x)):
+        ring[pos] = (int(x[n].real), int(x[n].imag))
+        pos = (pos + 1) % order
+        # filter ring: kernel[i] multiplies entries oldest..newest
+        rr = ri = 0
+        idx = pos % order
+        for i in range(order):
+            sr, si = ring[idx]
+            rr = w32(rr + w32(kr[i] * sr) - w32(ki[i] * si))
+            ri = w32(ri + w32(kr[i] * si) + w32(ki[i] * sr))
+            idx = (idx + 1) % order
+        yr, yi = rr >> 14, ri >> 14
+        if lut_inc:
+            idx_l = lut_count >> 8
+            if fc < 0:
+                idx_l = 127 - idx_l
+            lr, li = int(lut[idx_l].real), int(lut[idx_l].imag)
+            zr = w32(w32(lr * yr) - w32(li * yi)) >> 16
+            zi = w32(w32(lr * yi) + w32(li * yr)) >> 16
+            lut_count = (lut_count + lut_inc) % (128 * 256)
+        else:
+            zr, zi = yr, yi
+        last_r = w32(last_r + zr)
+        last_i = w32(last_i + zi)
+        if count == sub:
+            out.append((w16(tdiv(last_r, sub)), w16(tdiv(last_i, sub))))
+            last_r = last_i = 0
+            count = 0
+        count += 1
+    return np.array(out)
+
+
+def test_iqbaseband_int_matches_cpp_loop(rng):
+    """Vectorized IQBaseBandInt (incl. streaming carry and the first-group
+    quirk) == the per-sample C++-faithful loop, with an active NCO."""
+    import jax.numpy as jnp
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import IQBaseBandInt
+
+    fs, fc, width, order, sub = 96000.0, 12000.0, 11000.0, 21, 4
+    B = 480
+    n_blocks = 3
+    x = (rng.integers(-12000, 12000, size=n_blocks * B)
+         + 1j * rng.integers(-12000, 12000, size=n_blocks * B))
+    ref = _iqbaseband_int_oracle(x, fc, fc, width, order, sub, fs)
+
+    bb = IQBaseBandInt(fc=fc, width=width, order=order, decim=sub)
+    bb.bind(StreamSpec(np.complex64, fs, B))
+    carry = bb.init_carry()
+    outs = []
+    for b in range(n_blocks):
+        blk = x[b * B:(b + 1) * B]
+        xb = cplx.Complex(jnp.asarray(blk.real, jnp.int32),
+                          jnp.asarray(blk.imag, jnp.int32))
+        carry, y = bb.apply(carry, xb)
+        got = np.asarray(y.re) + 1j * np.asarray(y.im)
+        if b == 0:
+            got = got[:-1]   # first block's final slot is padding
+        outs.append(got)
+    got = np.concatenate(outs)
+    assert len(got) == len(ref)
+    np.testing.assert_array_equal(got.real, ref[:, 0])
+    np.testing.assert_array_equal(got.imag, ref[:, 1])
+
+
+def test_fm_deemph_int_matches_cpp_loop(rng):
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops import FMDeemphInt
+
+    fs = 22050.0
+    x = rng.integers(-30000, 30000, size=400).astype(np.int32)
+    import math
+    alpha = int(round(1.0 / (1.0 - math.exp(-1.0 / (fs * 75e-6)))))
+
+    def w16(a):
+        return ((int(a) + (1 << 15)) & 0xFFFF) - (1 << 15)
+
+    avg = 0
+    ref = []
+    for v in x:
+        diff = w16(int(v) - avg)
+        if diff > 0:
+            avg = w16(avg + (diff + alpha // 2) // alpha)
+        else:
+            avg = w16(avg + -((-(diff - alpha // 2)) // alpha))
+        ref.append(avg)
+
+    de = FMDeemphInt()
+    de.bind(StreamSpec(np.float32, fs, 200))
+    carry = de.init_carry()
+    c, y1 = de.apply(carry, jnp.asarray(x[:200]))
+    c, y2 = de.apply(c, jnp.asarray(x[200:]))
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_array_equal(got, np.array(ref))
+
+
+import jax.numpy as jnp  # noqa: E402

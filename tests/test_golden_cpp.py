@@ -702,3 +702,157 @@ def test_am_usb_audio_parity_with_reference(tmp_path, mode, tone):
     f_ours = tone_freq(ours, float(p.out_spec.rate_hz))
     assert abs(f_ref - tone) < 20, f_ref
     assert abs(f_ours - tone) < 20, f_ours
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point-exact chain: BIT-EXACT audio + marginal decode parity
+# ---------------------------------------------------------------------------
+
+def _int_chain_audio(raw_int16: np.ndarray, fs: float):
+    """Run the full integer chain (IQBaseBandInt -> FMDemodInt(quirk) ->
+    FMDeemphInt) on a raw cs16 capture, reproducing the reference harness's
+    buffer segmentation (220500-sample input blocks -> 22049/22050-sample
+    audio buffers)."""
+    import jax.numpy as jnp
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import FMDeemphInt, FMDemodInt, IQBaseBandInt
+
+    re = raw_int16[0::2].astype(np.int32)
+    im = raw_int16[1::2].astype(np.int32)
+    n = len(re)
+    bb = IQBaseBandInt(fc=0, width=12.5e3, order=21, decim=10)
+    bb.bind(StreamSpec(np.complex64, fs, n))
+    carry = bb.init_carry()
+    x = cplx.Complex(jnp.asarray(re), jnp.asarray(im))
+    _, y = bb.apply(carry, x)
+    # one whole-capture block: final slot is the first-block padding
+    bbr = np.asarray(y.re)[:-1]
+    bbi = np.asarray(y.im)[:-1]
+
+    # reference harness buffers: first 22049 samples, then 22050 each
+    sizes = [22049]
+    left = len(bbr) - 22049
+    while left > 0:
+        sizes.append(min(22050, left))
+        left -= 22050
+    demod = FMDemodInt(ref_block_quirk=True)
+    demod.bind(StreamSpec(np.complex64, fs / 10, 22050))
+    deemph = FMDeemphInt()
+    deemph.bind(StreamSpec(np.float32, fs / 10, 22050))
+    dc = demod.init_carry()
+    ec = deemph.init_carry()
+    audio = []
+    pos = 0
+    for sz in sizes:
+        blk = cplx.Complex(jnp.asarray(bbr[pos:pos + sz]),
+                           jnp.asarray(bbi[pos:pos + sz]))
+        dc, a = demod.apply(dc, blk)
+        ec, a = deemph.apply(ec, a)
+        audio.append(np.asarray(a))
+        pos += sz
+    return np.concatenate(audio).astype(np.int16)
+
+
+def test_int_chain_audio_bit_exact_vs_reference(golden):
+    """The integer Q14 chain's audio is BIT-IDENTICAL to the compiled
+    reference's dumped int16 audio — closing the fixed-point parity gap
+    (reference: src/baseband.hh int16 path, src/demod.hh:242-254,304-351,
+    including the per-buffer first-sample quirk)."""
+    fs = golden["fs"]
+    raw, _ = _pocsag_capture(fs, golden["text"], golden["address"])
+    n_pad = (-(len(raw) // 2)) % 220500
+    raw = np.concatenate([raw, np.zeros(2 * n_pad, np.int16)])
+    audio = _int_chain_audio(raw, fs)
+    ref = golden["audio"]
+    assert len(audio) == len(ref), (len(audio), len(ref))
+    np.testing.assert_array_equal(audio, ref)
+
+
+def _corrupt_bits(bits: np.ndarray, word_positions, flips_per_word):
+    """Flip bits inside POCSAG codewords (layout: 600 preamble + 32 sync +
+    16x32-bit words per batch)."""
+    bits = bits.copy()
+    base = 600 + 32
+    for wp, nf in zip(word_positions, flips_per_word):
+        for k in range(nf):
+            # spread flips over the word's data bits
+            bits[base + wp * 32 + 3 + 7 * k] ^= 1
+    return bits
+
+
+def test_int_chain_marginal_snr_decode_parity(tmp_path):
+    """Marginal fixture: 2-bit errors injected into the address word and a
+    message word (BCH(31,21) must REPAIR them) plus a 3-bit error in
+    another word (unrepairable).  The compiled reference and the integer
+    chain + ASK + BitStream + POCSAG decoder must make IDENTICAL decode
+    decisions — the case where a float pipeline could diverge by crossing a
+    threshold differently."""
+    import jax.numpy as jnp
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.decode import POCSAGDecoder, pocsag_encode_batch
+    from libsdr_tpu.ops import ASKDetector, BitStream
+
+    exe = _build_harness(str(tmp_path))
+    fs = 220500.0
+    text = "MARGINAL SNR GATE 42"
+    address = 133742
+    slot = address & 7
+    bits = pocsag_encode_batch(address=address, function=1, text=text)
+    # word 2*slot = address word, following words carry the message
+    bits_bad = _corrupt_bits(bits, [2 * slot, 2 * slot + 1, 2 * slot + 2],
+                             [2, 2, 3])
+    assert (bits_bad != bits).sum() == 7
+
+    spb = fs / 1200.0
+    n = int(len(bits_bad) * spb)
+    idx = np.minimum((np.arange(n) / spb).astype(np.int64),
+                     len(bits_bad) - 1)
+    dev = np.where(bits_bad[idx] > 0, 4500.0, -4500.0)
+    ph = 2 * np.pi * np.cumsum(dev) / fs
+    iq = np.exp(1j * ph)
+    raw = np.empty(2 * n, np.int16)
+    raw[0::2] = np.round(10000 * iq.real).astype(np.int16)
+    raw[1::2] = np.round(10000 * iq.imag).astype(np.int16)
+    n_pad = (-(len(raw) // 2)) % 220500
+    raw = np.concatenate([raw, np.zeros(2 * n_pad, np.int16)])
+
+    cap = os.path.join(str(tmp_path), "cap.raw")
+    aud = os.path.join(str(tmp_path), "audio.raw")
+    raw.tofile(cap)
+    res = subprocess.run([exe, cap, str(fs), aud], capture_output=True,
+                         text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    ref_msgs = [ln for ln in res.stdout.splitlines() if ln.startswith("MSG")]
+
+    # our chain: bit-exact audio -> ASK -> BitStream -> POCSAG decoder
+    audio = _int_chain_audio(raw, fs)
+    np.testing.assert_array_equal(audio, np.fromfile(aud, np.int16))
+    ask = ASKDetector(invert=False)
+    bs = BitStream(1200, mode="normal")
+    spec = StreamSpec(np.float32, fs / 10, len(audio))
+    bs.bind(ask.bind(spec))
+    _, sym = ask.apply(None, jnp.asarray(audio.astype(np.float32)))
+    _, rag = bs.apply(bs.init_carry(), sym)
+    rx_bits = np.asarray(rag.data)[np.asarray(rag.valid)]
+    from libsdr_tpu.decode import pocsag_decode_bits
+    msgs = pocsag_decode_bits(rx_bits)
+    assert len(msgs) == len(ref_msgs) == 1, (msgs, ref_msgs)
+    m = msgs[0]
+    # reference line: MSG addr=%u func=%u bits=%u text=%s
+    import re as _re
+    g = _re.match(r"MSG addr=(\d+) func=(\d+) bits=(\d+) text=(.*)",
+                  ref_msgs[0])
+    assert int(g.group(1)) == m.address
+    assert int(g.group(2)) == m.function
+    assert g.group(4) == m.as_text(), (g.group(4), m.as_text())
+    # Marginality evidence, channel-free: at the bit level the injected
+    # 2-bit word errors ARE repaired by BCH(31,21) and 3-bit errors are
+    # not (the channel adds further errors around isolated flipped bits at
+    # 1200 Bd through the 12.5 kHz filter — identically for both chains,
+    # which is exactly what the parity above proves).
+    from libsdr_tpu.decode import pocsag_decode_bits as _dec
+    two = _corrupt_bits(bits, [2 * slot], [2])
+    assert [mm.address for mm in _dec(two)] == [address]
+    three = _corrupt_bits(bits, [2 * slot], [3])
+    assert [mm.address for mm in _dec(three)] != [address]
