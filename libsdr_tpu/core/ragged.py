@@ -51,6 +51,35 @@ def compact(r) -> np.ndarray:
     return [d[v] for d, v in zip(flat_d, flat_v)]
 
 
+def compact_device(r, capacity: int):
+    """On-device compaction: scatter the valid items of each channel's row
+    to the front of a fixed ``capacity`` buffer.  Returns (data (..., cap),
+    counts (...)).
+
+    Use before reading decoder bit streams back to the host: a bit-sync PLL
+    emits ~baud/fs valid slots (e.g. 5%), so compacting on-device cuts the
+    device->host transfer by ~1/valid_fraction — decisive through slow
+    links (this environment's tunnel moves ~0.7 GB/s).  Items beyond
+    ``capacity`` are dropped (size generously: cap >= expected + margin).
+    """
+    import jax.numpy as jnp
+
+    data, valid = r.data, r.valid.astype(bool)
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
+    idx = jnp.where(valid, pos, capacity)          # invalid -> dropped slot
+    out = jnp.zeros(data.shape[:-1] + (capacity + 1,), data.dtype)
+    if data.ndim == 1:
+        out = out.at[idx].set(data, mode="drop")
+    else:
+        out = jax.vmap(lambda o, i, d: o.at[i].set(d, mode="drop"))(
+            out.reshape(-1, capacity + 1),
+            idx.reshape(-1, idx.shape[-1]),
+            data.reshape(-1, data.shape[-1])
+        ).reshape(data.shape[:-1] + (capacity + 1,))
+    counts = jnp.minimum(valid.sum(axis=-1), capacity)
+    return out[..., :capacity], counts
+
+
 def concat_host(blocks) -> "Ragged":
     """Concatenate host-side ragged blocks along time."""
     return Ragged(np.concatenate([np.asarray(b.data) for b in blocks], axis=-1),

@@ -29,6 +29,143 @@ from libsdr_tpu.ops.demod import FMDemod
 from libsdr_tpu.ops.fir import _conv1d, _fir_main
 
 
+class AMBasebandFused(Processor):
+    """One-op AM receiver front end (built by core/fuse.py from
+    [IQBaseBand -> AMDemod (-> AGC)]): decimating band-pass FIR + envelope
+    + optional AGC in one pass.  |y| is rotation invariant so the NCO
+    vanishes outright (reference chain: src/baseband.hh + demod.hh:73-76 +
+    utils.hh:657-793).  On wide channel banks the Pallas kernel
+    (ops/pallas_fir_mxu.fir_fm_mxu mode='am') computes f32 audio straight
+    from raw IQ — the complex baseband never touches HBM; the AGC envelope
+    IIR rides along as an impulse-response matmul with carried state."""
+
+    def __init__(self, bb: IQBaseBand, agc=None):
+        super().__init__()
+        self.bb = bb
+        self.agc = agc
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        in_spec.require_complex("AMBasebandFused")
+        bb = self.bb
+        fs = in_spec.rate_hz
+        if bb.out_rate is not None:
+            bb.decim = max(1, int(fs / bb.out_rate))
+        in_spec.require_block_multiple("AMBasebandFused", bb.decim)
+        if bb.design == "ref":
+            k = firdesign.ref_complex_bandpass(bb.order, bb.ff, bb.width, fs)
+        else:
+            k = firdesign.complex_bandpass(bb.order, bb.ff, bb.width, fs)
+        g = fused_baseband_taps(k, bb.fc, fs, bb.decim)
+        t = len(g)
+        w = 2 * np.pi * bb.fc / fs
+        self._offset = bb.decim - 1
+        self._g2 = g * np.exp(-1j * w * (np.arange(t) - (t - 1)
+                                         + self._offset))
+        self._decim = bb.decim
+        self._t = t
+        out_rate = fs / bb.decim
+        if self.agc is not None:
+            import math
+            lam = math.exp(-1.0 / (self.agc.tau * out_rate))
+            self._ab = (lam, 1.0 - lam)
+            self._gain = self.agc.target / 4.0
+        else:
+            self._ab = None
+            self._gain = 1.0
+        return in_spec.with_(
+            dtype=jnp.float32, plane_dtype=None,
+            sample_rate=in_spec.sample_rate / bb.decim,
+            block_size=in_spec.block_size // bb.decim)
+
+    def init_carry(self):
+        ch = self.in_spec.channels
+        tail = cplx.zeros(ch + (self._t - 1,), self.in_spec.real_dtype)
+        if self._ab is None:
+            return (tail,)
+        # sd initialized to target (reference: src/utils.hh:692)
+        return (tail, jnp.full(ch, self.agc.target, jnp.float32))
+
+    def _epilogue(self, y: Complex, sd_state):
+        from libsdr_tpu.ops.iir import iir_first_order
+
+        sig = y.abs()
+        if self._ab is None:
+            return sig * self._gain, None
+        sdv, sd_last = iir_first_order(sig, self._ab[0], self._ab[1],
+                                       sd_state)
+        return self._gain * sig / sdv, sd_last
+
+    def apply(self, carry, x):
+        tail = carry[0]
+        sd_state = carry[1] if self._ab is not None else None
+        d, t, offset = self._decim, self._t, self._offset
+        b = x.re.shape[-1]
+        n_lead = -(-(t - 1 - offset) // d) if t - 1 > offset else 0
+        s0 = offset + n_lead * d - (t - 1)
+        if b < t - 1 + max(s0, 0) or n_lead <= 0:
+            xc = cplx.concatenate([tail, x], axis=-1)
+            y = _conv1d(xc[..., offset:], self._g2, d)
+            audio, sd_state = self._epilogue(y, sd_state)
+            new_tail = xc[..., xc.shape[-1] - (t - 1):]
+            return ((new_tail,) if self._ab is None
+                    else (new_tail, sd_state)), audio
+
+        head_len = offset + (n_lead - 1) * d + 1
+        xc_head = cplx.concatenate([tail, x[..., :head_len]], axis=-1)
+        y_lead = _conv1d(xc_head[..., offset:], self._g2, d)
+        audio_lead, sd_lead = self._epilogue(y_lead, sd_state)
+        n_main = (b - s0 - t) // d + 1
+
+        audio_main = None
+        from libsdr_tpu.ops import fir as fir_mod
+        if (fir_mod.USE_PALLAS_MXU and self._ab is not None
+                and x.re.ndim == 2 and x.re.shape[0] >= 64
+                and jax.default_backend() == "tpu"):
+            from libsdr_tpu.ops import pallas_fir_mxu as pfm
+            if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b,
+                                     dtype=x.re.dtype):
+                c = x.re.shape[0]
+                lead0 = cplx.zeros((c, 1), jnp.float32)
+                audio_full, sd_kernel, nsp = pfm.fir_fm_mxu(
+                    x, self._g2, d, s0, lead0, 1.0, self._gain,
+                    deemph_ab=self._ab, deemph_lead=sd_lead[..., None],
+                    mode="am")
+                s_k = pfm._S
+                f_full = b // (d * s_k)
+                n_valid = min(f_full * s_k - nsp, n_main)
+                audio_main = audio_full[..., :n_valid]
+                # Rest outputs chain the AGC state: within the valid range
+                # the kernel's exported sd equals the state after its LAST
+                # emitted sample only when nothing was truncated; recompute
+                # the boundary state from the last valid audio instead:
+                # sd = gain * |y| / audio.
+                y_rest = _conv1d(x[..., s0 + max(n_valid - 1, 0) * d:],
+                                 self._g2, d)
+                sig_rest = y_rest.abs()
+                sd0 = jnp.where(
+                    audio_main[..., -1] > 0,
+                    self._gain * sig_rest[..., 0]
+                    / jnp.maximum(audio_main[..., -1], 1e-30),
+                    sd_lead)
+                if sig_rest.shape[-1] > 1:
+                    from libsdr_tpu.ops.iir import iir_first_order
+                    sdv, sd_state = iir_first_order(
+                        sig_rest[..., 1:], self._ab[0], self._ab[1], sd0)
+                    audio_rest = self._gain * sig_rest[..., 1:] / sdv
+                else:
+                    sd_state = sd0
+                    audio_rest = sig_rest[..., 1:]
+                audio = jnp.concatenate(
+                    [audio_lead, audio_main, audio_rest], axis=-1)
+        if audio_main is None:
+            y_main = _fir_main(x, self._g2, d, s0)
+            y = cplx.concatenate([y_lead, y_main], axis=-1)
+            audio, sd_state = self._epilogue(y, sd_state)
+        new_tail = x[..., b - (t - 1):]
+        return ((new_tail,) if self._ab is None
+                else (new_tail, sd_state)), audio
+
+
 class FMBasebandFused(Processor):
     """One-op FM front end (built by core/fuse.py from IQBaseBand+FMDemod)."""
 

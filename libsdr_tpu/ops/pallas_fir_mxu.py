@@ -388,9 +388,16 @@ def _atan2_poly(y, x):
 
 
 def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
-               audio_ref, xr_s, xi_s, hr_s, hi_s, pr_s, pi_s, dp_s, sems, *,
-               ct: int, ft: int, sd: int, b_total: int, precision,
-               rot_re: float, rot_im: float, gain: float, deemph: bool):
+               *refs, ct: int, ft: int, sd: int, b_total: int, precision,
+               rot_re: float, rot_im: float, gain: float, deemph: bool,
+               mode: str = "fm"):
+    if mode == "am" and deemph:
+        # AM+AGC epilogue: |y| envelope, AGC state IIR via the same
+        # impulse-response matmul as de-emphasis, exported per channel.
+        audio_ref, sd_ref, xr_s, xi_s, hr_s, hi_s, pr_s, pi_s, dp_s, \
+            sems = refs
+    else:
+        audio_ref, xr_s, xi_s, hr_s, hi_s, pr_s, pi_s, dp_s, sems = refs
     s = _S
     ci = pl.program_id(0)
     wi = pl.program_id(1)
@@ -463,6 +470,21 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
         nr, ni = p_r[f + 1], p_i[f + 1]
         yr = yr + (nr[:, 2 * s:3 * s] - ni[:, 3 * s:])
         yi = yi + (ni[:, 2 * s:3 * s] + nr[:, 3 * s:])
+        if mode == "am":
+            # AM envelope (rotation-invariant: the NCO vanishes outright).
+            sig = jnp.sqrt(yr * yr + yi * yi)
+            if deemph:   # AGC: sd IIR on the envelope, then out = g*sig/sd
+                sdv = (jax.lax.dot_general(
+                           sig, dmat, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+                       + dprev * dpow)
+                dprev = sdv[:, s - 1:s]
+                au = jnp.float32(gain) * sig / sdv
+            else:
+                au = jnp.float32(gain) * sig
+            audio_ref[:, f * s:(f + 1) * s] = au
+            continue
         # y[j-1]: lane roll, column 0 patched with the carried value.
         ypr = jnp.where(col == 0, prev_r, pltpu.roll(yr, 1, axis=1))
         ypi = jnp.where(col == 0, prev_i, pltpu.roll(yi, 1, axis=1))
@@ -484,6 +506,11 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
         audio_ref[:, f * s:(f + 1) * s] = au
         prev_r = yr[:, s - 1:s]
         prev_i = yi[:, s - 1:s]
+    if mode == "am":
+        if deemph:
+            dp_s[:] = dprev
+            sd_ref[:] = dprev     # AGC state export (next block's lead)
+        return
     pr_s[:] = prev_r
     pi_s[:] = prev_i
     if deemph:
@@ -492,10 +519,11 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
 
 @functools.partial(jax.jit, static_argnames=("stride", "ft", "rot_re",
                                              "rot_im", "gain", "deemph",
-                                             "interpret"))
+                                             "mode", "interpret"))
 def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
                  ft: int, rot_re: float, rot_im: float, gain: float,
-                 deemph: bool = False, interpret: bool = False):
+                 deemph: bool = False, mode: str = "fm",
+                 interpret: bool = False):
     c, b = xr.shape
     sd = _S * stride
     ct = min(c, _CT)
@@ -506,7 +534,8 @@ def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
     return pl.pallas_call(
         functools.partial(_kernel_fm, ct=ct, ft=ft, sd=sd, b_total=b,
                           precision=_PRECISION, rot_re=rot_re,
-                          rot_im=rot_im, gain=gain, deemph=deemph),
+                          rot_im=rot_im, gain=gain, deemph=deemph,
+                          mode=mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -522,9 +551,17 @@ def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
             pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+        out_specs=([pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                                 memory_space=pltpu.VMEM)]
+                   if (mode == "am" and deemph) else
+                   pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
+                                memory_space=pltpu.VMEM)),
+        out_shape=([jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+                    jax.ShapeDtypeStruct((c, 1), jnp.float32)]
+                   if (mode == "am" and deemph) else
+                   jax.ShapeDtypeStruct((c, n_out), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((2, ct, ft * sd), xr.dtype),
             pltpu.VMEM((2, ct, ft * sd), xr.dtype),
@@ -565,7 +602,7 @@ def _deemph_mat(a: float, b: float) -> np.ndarray:
 
 def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
                lead_last: Complex, rot: complex, gain: float,
-               deemph_ab=None, deemph_lead=None,
+               deemph_ab=None, deemph_lead=None, mode: str = "fm",
                interpret: bool = False) -> Tuple[jnp.ndarray, int]:
     """Fused decimating FIR + quadrature FM discriminator (+ optional
     first-order de-emphasis): returns (audio, nsp) where audio[j] = gain *
@@ -575,7 +612,14 @@ def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
 
     ``lead_last`` is y[-1] (the last lead output) as (C, 1) planar Complex;
     ``deemph_ab`` = (a, b) coefficients, ``deemph_lead`` = (C, 1) f32
-    de-emphasis state after the lead outputs."""
+    de-emphasis state after the lead outputs.
+
+    ``mode='am'``: AM+AGC epilogue instead — audio[j] = gain * |y[j]|
+    (optionally / sd[j] with the AGC envelope IIR sd' = a*sd + b*|y| when
+    ``deemph_ab`` is given, ``gain`` then carrying target/4).  Returns
+    (audio, sd_state (C, 1), nsp) in that case — sd_state seeds the next
+    block's ``deemph_lead``; lead_last/rot are ignored (|y| is rotation
+    invariant)."""
     taps = np.asarray(taps)
     if not np.iscomplexobj(taps):
         taps = taps.astype(np.complex128)
@@ -592,10 +636,13 @@ def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
     ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
     # The prev-sample / deemph-state scratches are f32 regardless of the
     # input plane dtype (bf16 ingest); normalize the tiny lead inputs.
-    audio = _fir_fm_call(x.re, x.im, _mats_on_device(taps, stride, offset),
-                         lead_last.re.astype(jnp.float32),
-                         lead_last.im.astype(jnp.float32),
-                         dmat, dlead.astype(jnp.float32), stride,
-                         ft, float(rot.real), float(rot.imag), float(gain),
-                         deemph=use_deemph, interpret=interpret)
-    return audio, _NSP_PAD
+    out = _fir_fm_call(x.re, x.im, _mats_on_device(taps, stride, offset),
+                       lead_last.re.astype(jnp.float32),
+                       lead_last.im.astype(jnp.float32),
+                       dmat, dlead.astype(jnp.float32), stride,
+                       ft, float(rot.real), float(rot.imag), float(gain),
+                       deemph=use_deemph, mode=mode, interpret=interpret)
+    if mode == "am" and use_deemph:
+        audio, sd_state = out
+        return audio, sd_state, _NSP_PAD
+    return out, _NSP_PAD

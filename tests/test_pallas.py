@@ -171,3 +171,67 @@ def test_pallas_fused_fm_kernel_matches_oracle(rng):
             assert abs(got[c, j] - dstate) < 5e-3 * max(1.0, abs(dstate)), \
                 (c, j, got[c, j], dstate)
             y_prev = y
+
+
+def test_pallas_am_agc_kernel_matches_oracle(rng):
+    """fir_fm_mxu(mode='am'): FIR + envelope + AGC IIR vs a numpy oracle,
+    including the carried sd state and its export (interpret mode)."""
+    import jax.numpy as jnp
+    from libsdr_tpu.ops.pallas_fir_mxu import (_FT, _S, fir_fm_mxu,
+                                               mxu_fir_supported)
+
+    C, D, T, s0 = 8, 2, 37, 1
+    SD = _S * D
+    B = 2 * _FT * SD
+    assert mxu_fir_supported(T, D, s0, C, B)
+    x = (rng.normal(size=(C, B)) + 1j * rng.normal(size=(C, B))
+         ).astype(np.complex64)
+    g = rng.normal(size=T) + 1j * rng.normal(size=T)
+    lam, gain = 0.97, 0.125
+    sd_lead = rng.uniform(0.3, 1.0, size=(C, 1)).astype(np.float32)
+    xb = cplx.as_block(x)
+    audio, sd_out, nsp = fir_fm_mxu(
+        xb, g, D, s0, cplx.zeros((C, 1)), 1.0, gain,
+        deemph_ab=(lam, 1.0 - lam), deemph_lead=jnp.asarray(sd_lead),
+        mode="am", interpret=True)
+    got = np.asarray(audio)
+    n_valid = got.shape[-1] - nsp
+
+    xc = x.astype(np.complex128)
+    for c in (0, 5):
+        sd = float(sd_lead[c, 0])
+        for j in range(min(n_valid, 3 * _S + 5)):
+            y = np.dot(g, xc[c, s0 + j * D:s0 + j * D + T])
+            sig = abs(y)
+            sd = lam * sd + (1 - lam) * sig
+            au = gain * sig / sd
+            assert abs(got[c, j] - au) < 5e-3 * max(1.0, abs(au)), \
+                (c, j, got[c, j], au)
+
+
+def test_am_fused_matches_unfused_pipeline(rng):
+    """AMBasebandFused (XLA path on CPU) streams identically to the unfused
+    [IQBaseBand -> AMDemod -> AGC] pipeline."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import AGC, AMDemod, IQBaseBand
+    from libsdr_tpu.ops.fm_fused import AMBasebandFused
+
+    fs, block, n_ch = 96000.0, 9600, 4
+    unf = Pipeline([IQBaseBand(fc=12000, width=9000, order=48, decim=4,
+                               design="textbook"),
+                    AMDemod(), AGC(tau=0.05)])
+    unf.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
+    bb2 = IQBaseBand(fc=12000, width=9000, order=48, decim=4,
+                     design="textbook")
+    fused = AMBasebandFused(bb2, AGC(tau=0.05))
+    fused.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
+
+    cu, cf = unf.init_carry(), fused.init_carry()
+    for _ in range(3):
+        x = (rng.normal(size=(n_ch, block))
+             + 1j * rng.normal(size=(n_ch, block))).astype(np.complex64)
+        xb = cplx.as_block(x)
+        cu, yu = unf.apply(cu, xb)
+        cf, yf = fused.apply(cf, xb)
+        np.testing.assert_allclose(np.asarray(yu), np.asarray(yf),
+                                   rtol=2e-4, atol=2e-5)

@@ -56,7 +56,7 @@ def main() -> None:
 
     from libsdr_tpu import Pipeline, StreamSpec
     from libsdr_tpu.core import cplx
-    from libsdr_tpu.core.ragged import Ragged, compact
+    from libsdr_tpu.core.ragged import compact_device
     from libsdr_tpu.decode import pocsag_decode_bits
     from libsdr_tpu.ops import ASKDetector, BitStream, FMDemod, IQBaseBand
 
@@ -83,7 +83,18 @@ def main() -> None:
         BitStream(1200.0, mode="normal"),
     ], name="pocsag_bank")
     fe.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
-    step = fe.compile()
+    # Fuse the on-device bit compaction into the jitted step: the PLL emits
+    # ~baud/fs (5%) valid slots, so compacting before readback cuts the
+    # device->host transfer ~20x (decisive through this tunnel's slow link,
+    # still a win over PCIe).
+    cap = int(block / fs * 1200.0 * 1.3)
+    inner = fe.compile()
+
+    def step_fn(c, v):
+        c, y = inner(c, v)
+        return c, compact_device(y, cap)
+
+    step = jax.jit(step_fn)
     carry = fe.init_carry()
 
     host_blocks = [x[:, i:i + block] for i in range(0, n, block)]
@@ -93,25 +104,23 @@ def main() -> None:
     dev_blocks = [cplx.as_block(b) for b in host_blocks]
     jax.block_until_ready(dev_blocks[-1].re)
     # warmup / compile
-    c, y = step(carry, dev_blocks[0])
-    _ = float(jnp.sum(y.valid))
+    c, (d0, n0) = step(carry, dev_blocks[0])
+    _ = float(jnp.sum(n0))
 
     t0 = time.perf_counter()
     c = carry
-    datas, valids = [], []
+    datas, counts = [], []
     for blk in dev_blocks:
-        c, y = step(c, blk)
-        datas.append(np.asarray(y.data))
-        valids.append(np.asarray(y.valid))
+        c, (d, k) = step(c, blk)
+        datas.append(np.asarray(d))
+        counts.append(np.asarray(k))
     t_tpu = time.perf_counter() - t0
 
-
     t0 = time.perf_counter()
-    data = np.concatenate(datas, -1)
-    valid = np.concatenate(valids, -1)
     decoded = 0
     for ch in range(n_ch):
-        bits = compact(Ragged(data[ch], valid[ch]))
+        bits = np.concatenate([d[ch, :k[ch]]
+                               for d, k in zip(datas, counts)])
         msgs = pocsag_decode_bits(bits)
         if msgs and msgs[0].address == 1234:
             decoded += 1
