@@ -16,9 +16,18 @@ from typing import List
 
 from libsdr_tpu.decode.aprs import APRSDecoder, APRSMessage
 
-_PAGE = b"""<!doctype html><html><head><title>libsdr_tpu APRS</title></head>
-<body><h1>APRS spots</h1><p>GET <a href="/spots">/spots</a> for JSON.</p>
-</body></html>"""
+
+def _load_page() -> bytes:
+    """The static map page served at '/' (parity with the reference's baked
+    page: cmd/aprsapplication.cc:13-16 + cmake/LinkResources.cmake; here a
+    self-contained SVG map with /spots polling, no external dependencies)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "aprs_map.html")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+_PAGE = _load_page()
 
 
 class APRSStore:

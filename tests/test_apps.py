@@ -263,3 +263,20 @@ def test_spectrum_cli(tmp_path):
     got = sorted(p["freq_hz"] for p in out["peaks"][:2])
     assert abs(got[0] - (-25_000)) < 100 and abs(got[1] - 12_000) < 100
     assert (tmp_path / "s.png").stat().st_size > 10_000
+
+
+def test_aprs_service_map_page():
+    """'/' serves the real map page (reference: cmd/aprsapplication.cc:13-16
+    serves a static map at '/'), wired to /spots."""
+    from libsdr_tpu.apps import aprs_service
+    store = aprs_service.APRSStore()
+    store.add_spot({"from": "T1", "latitude": 52.5, "longitude": 13.4})
+    httpd = aprs_service.serve(store, port=0)
+    port = httpd.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        page = r.read().decode()
+        assert r.headers.get_content_type() == "text/html"
+    httpd.shutdown()
+    # a real map page: svg plot + /spots polling + marker rendering
+    assert "<svg" in page and "/spots" in page and "markers" in page
+    assert "latitude" in page  # consumes the store's spot schema
