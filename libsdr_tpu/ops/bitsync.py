@@ -30,14 +30,20 @@ class BitStream(Processor):
     """Args:
       baud: bit rate of the input symbol stream.
       mode: 'normal' or 'transition' (reference: src/fsk.hh:127-131).
+      time_major: when True, blocks are (T, channels...) instead of
+        (channels..., T) — the natural layout of the fused wideband kernel
+        (ops/wideband_rx.py layout='lane') and of the scan itself, skipping
+        two transposes per block.  The carry layout is unchanged.
     """
 
-    def __init__(self, baud: float, mode: str = TRANSITION):
+    def __init__(self, baud: float, mode: str = TRANSITION,
+                 time_major: bool = False):
         super().__init__()
         if mode not in (NORMAL, TRANSITION):
             raise ValueError(f"BitStream: unknown mode {mode!r}")
         self.baud = float(baud)
         self.mode = mode
+        self.time_major = bool(time_major)
 
     def _bind(self, in_spec: StreamSpec) -> StreamSpec:
         in_spec.require_dtype("BitStream", jnp.uint8)
@@ -69,18 +75,20 @@ class BitStream(Processor):
     def apply(self, carry, x):
         L = self.corr_len
         mode_transition = self.mode == TRANSITION
+        x_t = x if self.time_major else jnp.moveaxis(x, -1, 0)  # (T, ch..)
 
         # ---- majority vote, vectorized (src/fsk.cc:163-168): the ring of
         # the last L signs reduces to a length-L moving sum — exact in int32
         # via the cumsum difference; the zero-initialized ring is the zero
         # signs carry.
-        new = jnp.where(x > 0, 1, -1).astype(jnp.int32)
-        signs_c = jnp.concatenate([carry["signs"], new], axis=-1)
-        cs = jnp.cumsum(signs_c, axis=-1)
-        sym_sum_t = cs[..., L - 1:] - jnp.concatenate(
-            [jnp.zeros_like(cs[..., :1]), cs[..., :-L]], axis=-1)
+        new = jnp.where(x_t > 0, 1, -1).astype(jnp.int32)
+        signs_c = jnp.concatenate(
+            [jnp.moveaxis(carry["signs"], -1, 0), new], axis=0)
+        cs = jnp.cumsum(signs_c, axis=0)
+        sym_sum_t = cs[L - 1:] - jnp.concatenate(
+            [jnp.zeros_like(cs[:1]), cs[:-L]], axis=0)
         last_sum_t = jnp.concatenate(
-            [carry["sym_sum"][..., None], sym_sum_t[..., :-1]], axis=-1)
+            [carry["sym_sum"][None], sym_sum_t[:-1]], axis=0)
         crossed_t = ((last_sum_t < 0) & (sym_sum_t >= 0)) | \
                     ((last_sum_t >= 0) & (sym_sum_t < 0))
         bit_now_t = (sym_sum_t > 0).astype(jnp.int32)
@@ -107,15 +115,17 @@ class BitStream(Processor):
             return (phase, omega, new_last_bits), (bit.astype(jnp.uint8),
                                                    emit)
 
-        inp_t = (jnp.moveaxis(bit_now_t, -1, 0),
-                 jnp.moveaxis(crossed_t, -1, 0))
         state = (carry["phase"], carry["omega"], carry["last_bits"])
         # unroll cuts the sequential-loop bookkeeping (~3.4x measured at 4;
         # the slimmed body makes higher unroll profitable).
-        state, (bits, valid) = jax.lax.scan(step, state, inp_t, unroll=8)
+        state, (bits, valid) = jax.lax.scan(step, state,
+                                            (bit_now_t, crossed_t), unroll=8)
         phase, omega, last_bits = state
-        new_carry = dict(signs=signs_c[..., signs_c.shape[-1] - (L - 1):],
-                         sym_sum=sym_sum_t[..., -1],
-                         phase=phase, omega=omega, last_bits=last_bits)
+        new_carry = dict(
+            signs=jnp.moveaxis(signs_c[signs_c.shape[0] - (L - 1):], 0, -1),
+            sym_sum=sym_sum_t[-1],
+            phase=phase, omega=omega, last_bits=last_bits)
+        if self.time_major:
+            return new_carry, Ragged(bits, valid)
         return new_carry, Ragged(jnp.moveaxis(bits, 0, -1),
                                  jnp.moveaxis(valid, 0, -1))

@@ -160,6 +160,7 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
     it to decode.pocsag_decode_bits.
     """
     from libsdr_tpu import StreamSpec
+    from libsdr_tpu.core.ragged import Ragged
     from libsdr_tpu.ops import ASKDetector, BitStream
 
     n = int(mesh.devices.size)
@@ -170,6 +171,37 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
     taps = jnp.asarray(fold_commutator(proto, m, p))
     t_full = block // m
     ch_rate = fs_hz / m
+
+    if n == 1:
+        # Single-chip fast path: the fused PFB+FM Pallas kernel feeds the
+        # bit chain in its natural TIME-major lane layout (no transposes
+        # until the final ragged-bit regather to the (M, T) contract).  On
+        # non-TPU backends WidebandFM's XLA fallback computes the same
+        # values, so outputs are identical to the sharded path.
+        from libsdr_tpu.ops.wideband_rx import WidebandFM
+
+        wb = WidebandFM(m, p, gain=1.0, layout="lane")
+        wb.bind(StreamSpec(np.complex64, fs_hz, block))
+        ask_t = ASKDetector(invert=True)
+        bs_t = BitStream(baud, mode="normal", time_major=True)
+        spec_t = StreamSpec(np.float32, ch_rate, t_full, channels=(m,))
+        bs_t.bind(ask_t.bind(spec_t))
+        lane = wb.lane_of_channel
+
+        def step_fused(carry, x_local):
+            wbc, bsc = carry
+            wbc, audio = wb.apply(wbc, x_local)        # (T, M) lane-major
+            _, sym = ask_t.apply(None, audio)
+            bsc, bits = bs_t.apply(bsc, sym)
+            data = jnp.swapaxes(bits.data[..., lane], -1, -2)
+            valid = jnp.swapaxes(bits.valid[..., lane], -1, -2)
+            return (wbc, bsc), Ragged(data, valid)
+
+        def init_carry_fused():
+            return (wb.init_carry(), bs_t.init_carry())
+
+        return (jax.jit(step_fused), init_carry_fused,
+                lambda x: cplx.as_block(x))
 
     # Two bindings of the bit chain: LOCAL (per-device channel count) for
     # the shard_map body, GLOBAL (all M channels) for carry construction.

@@ -119,6 +119,37 @@ def main() -> None:
     out["kernel_direct_ms"] = round(t * 1e3, 3)
     out["kernel_direct_msps"] = round(block / t / 1e6, 1)
 
+    # Whole-band pager scanner end-to-end: fused channelizer+FM kernel ->
+    # ASK -> bit-sync PLL -> ragged bits (the PLL's symbol-rate-sequential
+    # scan is the structural bound of this chain).
+    from jax.sharding import Mesh
+    from libsdr_tpu.parallel.wideband import build_scanner_step
+
+    fs_scan = m * 24_000.0
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("d",))
+    sstep, sinit, splace = build_scanner_step(mesh1, m, block, fs_scan)
+
+    x1 = cplx.Complex(x.re, x.im)
+
+    def sbench():
+        import jax.numpy as jnp
+        c0 = sinit()
+        c, y = sstep(c0, x1)
+        _ = float(jnp.sum(y.valid))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = c0
+            for _ in range(3):
+                c, y = sstep(c, x1)
+            _ = float(jnp.sum(y.valid))
+            best = min(best, (time.perf_counter() - t0) / 3)
+        return best
+
+    t = sbench()
+    out["scanner_e2e_ms"] = round(t * 1e3, 3)
+    out["scanner_e2e_msps"] = round(block / t / 1e6, 1)
+
     out["metric"] = "polyphase channelizer wideband Msamples/s/chip"
     out["per_channel_msps"] = round(out["wideband_fm_msps"] / m, 4)
     print(json.dumps(out))
