@@ -26,6 +26,17 @@ def fm_chain(fs: float, block: int, fc: float = 0.0, width: float = 200e3,
     """
     from libsdr_tpu.ops import FIRFilter
 
+    p = Pipeline(fm_stages(fs, fc, width, order, audio_rate, deviation,
+                           deemph), name="fm_rx")
+    p.bind(StreamSpec(np.complex64, fs, block))
+    return p
+
+
+def fm_stages(fs, fc=0.0, width=200e3, order=64, audio_rate=48e3,
+              deviation=75e3, deemph=True):
+    """Stage list for :func:`fm_chain` (reusable for live mode switching)."""
+    from libsdr_tpu.ops import FIRFilter
+
     demod_target = max(audio_rate, 2.5 * deviation)
     d1 = max(1, int(fs // demod_target))
     demod_rate = fs / d1
@@ -40,36 +51,39 @@ def fm_chain(fs: float, block: int, fc: float = 0.0, width: float = 200e3,
     if d2 > 1:
         stages.append(FIRFilter(order=33, kind="lowpass",
                                 fu=0.4 * demod_rate / d2, decim=d2))
-    p = Pipeline(stages, name="fm_rx")
-    p.bind(StreamSpec(np.complex64, fs, block))
-    return p
+    return stages
+
+
+def rx_stages(mode: str, fs: float, fc: float = 0.0):
+    """Stage list for one receiver mode (reference: examples/sdr_rec.cc:44-63
+    per-mode parameters) — used both to build a pipeline and to live-switch a
+    running one (Pipeline.switch_stages)."""
+    mode = mode.upper()
+    if mode == "WFM":
+        return fm_stages(fs, fc, width=200e3, audio_rate=48e3,
+                         deviation=75e3)
+    if mode == "NFM":
+        return fm_stages(fs, fc, width=12.5e3, order=32, audio_rate=24e3,
+                         deviation=4.5e3)
+    if mode == "AM":
+        return [IQBaseBand(fc=fc, width=10e3, order=32, out_rate=24e3,
+                           design="textbook"), AMDemod(), AGC(tau=0.1)]
+    if mode == "USB":
+        # USB: select the upper 3 kHz sideband (reference: sdr_rec.cc:53-58)
+        return [IQBaseBand(fc=fc, ff=fc + 1500.0, width=3000.0, order=64,
+                           out_rate=12e3, design="textbook"),
+                USBDemod(), AGC(tau=0.1)]
+    if mode == "LSB":
+        return [IQBaseBand(fc=fc, ff=fc - 1500.0, width=3000.0, order=64,
+                           out_rate=12e3, design="textbook"),
+                USBDemod(), AGC(tau=0.1)]
+    raise SystemExit(f"unknown mode {mode} (WFM/NFM/AM/USB/LSB)")
 
 
 def rx_chain(mode: str, fs: float, block: int, fc: float = 0.0) -> Pipeline:
     """Multi-mode receiver (reference: examples/sdr_rec.cc:44-63): per-mode
     IQBaseBand parameters + demodulator selection."""
-    mode = mode.upper()
-    if mode == "WFM":
-        return fm_chain(fs, block, fc, width=200e3, audio_rate=48e3,
-                        deviation=75e3)
-    if mode == "NFM":
-        return fm_chain(fs, block, fc, width=12.5e3, order=32,
-                        audio_rate=24e3, deviation=4.5e3)
-    if mode == "AM":
-        stages = [IQBaseBand(fc=fc, width=10e3, order=32, out_rate=24e3,
-                             design="textbook"), AMDemod(), AGC(tau=0.1)]
-    elif mode == "USB":
-        # USB: select the upper 3 kHz sideband (reference: sdr_rec.cc:53-58)
-        stages = [IQBaseBand(fc=fc, ff=fc + 1500.0, width=3000.0, order=64,
-                             out_rate=12e3, design="textbook"),
-                  USBDemod(), AGC(tau=0.1)]
-    elif mode == "LSB":
-        stages = [IQBaseBand(fc=fc, ff=fc - 1500.0, width=3000.0, order=64,
-                             out_rate=12e3, design="textbook"),
-                  USBDemod(), AGC(tau=0.1)]
-    else:
-        raise SystemExit(f"unknown mode {mode} (WFM/NFM/AM/USB/LSB)")
-    p = Pipeline(stages, name=f"rx_{mode}")
+    p = Pipeline(rx_stages(mode, fs, fc), name=f"rx_{mode.upper()}")
     p.bind(StreamSpec(np.complex64, fs, block))
     return p
 

@@ -86,6 +86,32 @@ class Pipeline(Processor):
                                  donate_argnums=donate)
         return self._step
 
+    def switch_stages(self, new_stages: Sequence[Processor], old_carry):
+        """Live restructuring of a BOUND pipeline mid-stream — the analog of
+        the reference's runtime graph surgery (``connect()`` on a running
+        queue reconfigures via Config propagation, src/node.cc:87-114, and
+        sdr_rec's per-mode demod plumbing, examples/sdr_rec.cc:44-63).
+
+        Replaces the stage list, re-runs fusion + spec propagation with the
+        same input spec, and returns the carry for the NEW structure with
+        the state of every structurally-unchanged leading piece
+        TRANSPLANTED from ``old_carry`` (e.g. switching WFM -> AM keeps the
+        front-end FIR tail warm; only the demod-side state starts fresh).
+        The compiled step is invalidated — call :meth:`compile` again.
+        """
+        if not self.is_bound:
+            raise RuntimeError("switch_stages: pipeline is not bound")
+        in_spec = self._in_spec_orig
+        self.stages = list(new_stages)
+        self.bind(in_spec)
+        fresh = self.init_carry()
+        return _transplant_carry(tuple(old_carry), fresh)
+
+    def bind(self, in_spec: StreamSpec) -> StreamSpec:
+        # Remember the original input spec so switch_stages can re-propagate.
+        self._in_spec_orig = in_spec
+        return super().bind(in_spec)
+
     def describe(self) -> str:
         """Human-readable config echo of each bound stage — the analog of the
         reference's per-node debug log on reconfigure (e.g. src/baseband.hh:179-189)."""
@@ -94,6 +120,38 @@ class Pipeline(Processor):
             out = str(stage.out_spec) if stage.is_bound else "(unbound)"
             lines.append(f"  {type(stage).__name__:<24} -> {out}")
         return "\n".join(lines)
+
+
+def _transplant_carry(old, fresh):
+    """Recursively transplant state from ``old`` into the structure of
+    ``fresh``: wherever a sub-tree of the new carry matches the old one
+    (same pytree structure, leaf shapes and dtypes), the old values carry
+    over; mismatched sub-trees (new or reconfigured stages) keep their
+    fresh initial state.  Tuples/lists of different length transplant their
+    common prefix — the fused-stage analog of keeping upstream node state
+    while downstream nodes are re-created."""
+    def leaves_match(a, b):
+        la, ta = jax.tree_util.tree_flatten(a)
+        lb, tb = jax.tree_util.tree_flatten(b)
+        if ta != tb:
+            return False
+        for x, y in zip(la, lb):
+            if (getattr(x, "shape", None) != getattr(y, "shape", None)
+                    or getattr(x, "dtype", None) != getattr(y, "dtype",
+                                                            None)):
+                return False
+        return True
+
+    if leaves_match(old, fresh):
+        return old
+    if isinstance(old, (tuple, list)) and isinstance(fresh, (tuple, list)):
+        out = [(_transplant_carry(old[i], f) if i < len(old) else f)
+               for i, f in enumerate(fresh)]
+        return type(fresh)(out)
+    if isinstance(old, dict) and isinstance(fresh, dict):
+        return {k: (_transplant_carry(old[k], v) if k in old else v)
+                for k, v in fresh.items()}
+    return fresh
 
 
 class Combine(Processor):

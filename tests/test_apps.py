@@ -280,3 +280,37 @@ def test_aprs_service_map_page():
     # a real map page: svg plot + /spots polling + marker rendering
     assert "<svg" in page and "/spots" in page and "markers" in page
     assert "latitude" in page  # consumes the store's spot schema
+
+
+def test_rx_cli_live_mode_switch(tmp_path):
+    """rx.py --switch: NFM for the first half, live-switched to AM for the
+    second (reference runtime reconfiguration analog) — both halves must
+    demodulate their tone."""
+    from libsdr_tpu.apps import rx
+    fs = 960_000
+    n = fs  # 1 s
+    t = np.arange(n) / fs
+    # first half: NFM at 4.5 kHz deviation; second half: AM
+    audio_f = np.sin(2 * np.pi * 800.0 * t[: n // 2])
+    ph = 2 * np.pi * 4500.0 * np.cumsum(audio_f) / fs
+    fm = np.exp(1j * ph)
+    audio_a = np.sin(2 * np.pi * 1100.0 * t[n // 2:])
+    am = (0.6 + 0.4 * audio_a) * np.exp(1j * 2 * np.pi * 0.0 * t[n // 2:])
+    iq = np.concatenate([fm, am]).astype(np.complex64)
+    cap = tmp_path / "switch.wav"
+    write_wav_iq(str(cap), 0.5 * iq, fs)
+    out = tmp_path / "audio.wav"
+    rx.main(["--file", str(cap), "-m", "NFM",
+             "--switch", "0.5:AM", "-o", str(out),
+             "--block-size", "96000"])
+    from libsdr_tpu.io import read_wav
+    audio, rate = read_wav(str(out))
+    assert rate == 24000
+    half = len(audio) // 2
+
+    def peak(seg):
+        sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        return np.fft.rfftfreq(len(seg), 1 / rate)[np.argmax(sp[5:]) + 5]
+
+    assert abs(peak(audio[half // 4: half]) - 800.0) < 10
+    assert abs(peak(audio[half + half // 4:]) - 1100.0) < 10

@@ -296,3 +296,53 @@ def test_profiling_helpers(tmp_path):
         jax.block_until_ready(y)
     files = [f for _, _, fs in os.walk(d) for f in fs]
     assert files, "profiler produced no trace files"
+
+
+def test_pipeline_switch_stages_preserves_front_end(rng):
+    """Live demod switching (the reference's runtime graph surgery,
+    examples/sdr_rec.cc + node.cc:87-114): switching [IQBaseBand -> FMDemod
+    -> FMDeemph] to [IQBaseBand -> AMDemod] mid-stream transplants the
+    front-end FIR state, so post-switch output equals a continuous AM
+    pipeline that processed the whole stream."""
+    import jax.numpy as jnp
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import AMDemod, FMDemod, FMDeemph, IQBaseBand
+
+    fs, block, n_blocks = 96000.0, 9600, 4
+
+    def bb():
+        return IQBaseBand(fc=12000, width=9000, order=48, decim=4,
+                          design="textbook")
+
+    x = (rng.normal(size=(n_blocks, block))
+         + 1j * rng.normal(size=(n_blocks, block))).astype(np.complex64)
+
+    # switched pipeline: FM for blocks 0-1, then live switch to AM
+    p = Pipeline([bb(), FMDemod(), FMDeemph()])
+    p.bind(StreamSpec(np.complex64, fs, block))
+    c = p.init_carry()
+    for b in range(2):
+        c, _ = p.apply(c, cplx.as_block(x[b]))
+    c = p.switch_stages([bb(), AMDemod()], c)
+    outs_sw = []
+    for b in range(2, n_blocks):
+        c, y = p.apply(c, cplx.as_block(x[b]))
+        outs_sw.append(np.asarray(y))
+
+    # continuous AM pipeline over the whole stream
+    q = Pipeline([bb(), AMDemod()])
+    q.bind(StreamSpec(np.complex64, fs, block))
+    cq = q.init_carry()
+    outs_am = []
+    for b in range(n_blocks):
+        cq, y = q.apply(cq, cplx.as_block(x[b]))
+        outs_am.append(np.asarray(y))
+
+    np.testing.assert_allclose(np.concatenate(outs_sw),
+                               np.concatenate(outs_am[2:]), rtol=1e-5,
+                               atol=1e-6)
+    # and the new structure compiles/streams on
+    step = p.compile()
+    c, y = step(c, cplx.as_block(x[0]))
+    assert np.asarray(y).shape[-1] == block // 4
