@@ -129,3 +129,42 @@ def fft(x: Complex, inverse: bool = False) -> Complex:
 def fft_np(x: np.ndarray, inverse: bool = False) -> np.ndarray:
     """Host-side reference path (numpy) with the same conventions."""
     return np.fft.ifft(x) if inverse else np.fft.fft(x)
+
+
+def fft_f64(x, inverse: bool = False) -> np.ndarray:
+    """Double-precision transform — the capability of the reference's FFTW
+    double plans (reference: src/fftplan_fftw3.hh:11-142, which also ran on
+    the host CPU).  The TPU device path is float32 (HIGHEST ~1.3e-7, above
+    every SDR contract here); when genuine f64 spectra are needed (e.g.
+    calibration tooling), this host path computes the same unscaled-forward
+    / 1/n-inverse convention in float64 via the mixed-radix matmul
+    factorization.
+
+    Accepts numpy complex arrays or planar :class:`Complex`; returns
+    numpy complex128.
+    """
+    if isinstance(x, Complex):
+        x = np.asarray(x.re, np.float64) + 1j * np.asarray(x.im, np.float64)
+    x = np.asarray(x, np.complex128)
+    n = x.shape[-1]
+
+    def rec(a):
+        m = a.shape[-1]
+        if m <= _MAX_DIRECT:
+            j = np.arange(m)
+            w = np.exp(-2j * np.pi * np.outer(j, j) / m)
+            return a @ w
+        n1, n2 = _factorize(m)
+        if n1 == 1:
+            j = np.arange(m)
+            return a @ np.exp(-2j * np.pi * np.outer(j, j) / m)
+        lead = a.shape[:-1]
+        b = rec(np.swapaxes(a.reshape(lead + (n2, n1)), -1, -2))
+        tw = np.exp(-2j * np.pi
+                    * np.outer(np.arange(n1), np.arange(n2)) / m)
+        d = rec(np.swapaxes(b * tw, -1, -2))
+        return np.swapaxes(d, -1, -2).reshape(lead + (m,))
+
+    if inverse:
+        return np.conj(rec(np.conj(x))) / n
+    return rec(x)

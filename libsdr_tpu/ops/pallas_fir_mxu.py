@@ -464,6 +464,22 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
         dmat = dm_ref[:s, :]
         dpow = dm_ref[s:s + 1, :]
         dprev = dp_s[:]
+        # 3-pass bf16 split (~= XLA HIGH, 1e-5): HIGHEST here (bf16x6)
+        # measurably costs headline throughput — this dot runs once per
+        # frame at s x s.
+        dm_hi = dmat.astype(jnp.bfloat16)
+        dm_lo = (dmat - dm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn_d = (((1,), (0,)), ((), ()))
+
+        def dmm(v):
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jax.lax.dot_general(v_hi, dm_hi, dn_d,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(v_hi, dm_lo, dn_d,
+                                          preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(v_lo, dm_hi, dn_d,
+                                          preferred_element_type=jnp.float32))
     for f in range(ft):
         yr = p_r[f][:, :s] - p_i[f][:, s:2 * s]
         yi = p_i[f][:, :s] + p_r[f][:, s:2 * s]
@@ -474,11 +490,7 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
             # AM envelope (rotation-invariant: the NCO vanishes outright).
             sig = jnp.sqrt(yr * yr + yi * yi)
             if deemph:   # AGC: sd IIR on the envelope, then out = g*sig/sd
-                sdv = (jax.lax.dot_general(
-                           sig, dmat, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-                       + dprev * dpow)
+                sdv = dmm(sig) + dprev * dpow
                 dprev = sdv[:, s - 1:s]
                 au = jnp.float32(gain) * sig / sdv
             else:
@@ -497,11 +509,7 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
         if deemph:
             # In-frame de-emphasis via the impulse-response matmul plus the
             # carried state (state == previous deemphasized output).
-            au = (jax.lax.dot_general(
-                      au, dmat, (((1,), (0,)), ((), ())),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-                  + dprev * dpow)
+            au = dmm(au) + dprev * dpow
             dprev = au[:, s - 1:s]
         audio_ref[:, f * s:(f + 1) * s] = au
         prev_r = yr[:, s - 1:s]

@@ -64,6 +64,126 @@ def place_global(x, mesh: Mesh, spec) -> jax.Array:
                                         lambda idx: x_np[idx])
 
 
+def _shard_key(index) -> str:
+    """Stable string key for a global-shard index (tuple of slices)."""
+    return ";".join(f"{s.start or 0}:{s.stop if s.stop is not None else -1}"
+                    for s in index)
+
+
+def save_sharded_checkpoint(path: str, carry, position: int) -> None:
+    """Per-process checkpoint of a (possibly globally sharded) carry: each
+    process serializes only the shards on ITS OWN devices, so no
+    cross-host gather happens — the multi-host form of
+    core/checkpoint.save_checkpoint.  Write to a per-process path."""
+    import json
+
+    leaves, treedef = jax.tree_util.tree_flatten(carry)
+    arrays = {}
+    for i, leaf in enumerate(leaves):
+        if hasattr(leaf, "addressable_shards"):
+            seen = set()
+            for s in leaf.addressable_shards:
+                k = _shard_key(s.index)
+                if k not in seen:    # replicated: one copy is enough
+                    seen.add(k)
+                    arrays[f"leaf{i}|{k}"] = np.asarray(s.data)
+        else:
+            arrays[f"leaf{i}|"] = np.asarray(leaf)
+    header = json.dumps({"position": int(position), "n_leaves": len(leaves)})
+    np.savez(path, __header__=np.frombuffer(header.encode(), np.uint8),
+             **arrays)
+
+
+def load_sharded_checkpoint(path: str, carry_like):
+    """Restore (carry, position) from :func:`save_sharded_checkpoint`:
+    every leaf is rebuilt with ``jax.make_array_from_callback``, which asks
+    each process only for its own shards — exactly the ones it saved."""
+    import json
+
+    with np.load(path) as z:
+        header = json.loads(bytes(z["__header__"]).decode())
+        saved = {k: z[k] for k in z.files if k != "__header__"}
+    like_leaves, treedef = jax.tree_util.tree_flatten(carry_like)
+    out = []
+    for i, like in enumerate(like_leaves):
+        if hasattr(like, "sharding") and hasattr(like, "addressable_shards"):
+            dtype = np.asarray(like.addressable_shards[0].data).dtype
+
+            def cb(idx, i=i, dtype=dtype):
+                return saved[f"leaf{i}|{_shard_key(idx)}"].astype(dtype)
+
+            out.append(jax.make_array_from_callback(
+                like.shape, like.sharding, cb))
+        else:
+            out.append(saved[f"leaf{i}|"])
+    return (jax.tree_util.tree_unflatten(treedef, out),
+            header["position"])
+
+
+def run_supervised(make_cmd, num_processes: int, max_restarts: int = 2,
+                   poll_s: float = 0.25, timeout_s: float = 600.0,
+                   popen_kwargs: Optional[dict] = None) -> int:
+    """Host-loss detection + elastic restart for a multi-process job
+    (SURVEY.md section 5: the reference has nothing here; BASELINE's
+    multi-host north star asks at minimum for lost-host detection with
+    restart from stream position).
+
+    Launches the N processes of a ``jax.distributed`` job and monitors
+    them; when ANY process exits abnormally (crash, OOM-kill, lost host),
+    the survivors are torn down (their collectives would hang forever
+    waiting for the dead peer) and the whole cluster is relaunched — the
+    workers themselves resume from their last checkpoint
+    (core/checkpoint.py), so completed stream position is never recomputed.
+
+    Args:
+      make_cmd: callable ``(coordinator, process_id, incarnation) ->
+        argv list`` for one worker.
+      num_processes: cluster size.
+      max_restarts: relaunch budget before giving up.
+    Returns the number of restarts performed.  Raises RuntimeError when
+    the budget is exhausted.
+    """
+    import socket
+    import subprocess
+    import time
+
+    restarts = 0
+    while True:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            coordinator = f"127.0.0.1:{s.getsockname()[1]}"
+        procs = [subprocess.Popen(make_cmd(coordinator, i, restarts),
+                                  **(popen_kwargs or {}))
+                 for i in range(num_processes)]
+        t0 = time.monotonic()
+        failed = False
+        try:
+            while True:
+                codes = [p.poll() for p in procs]
+                if all(c == 0 for c in codes):
+                    return restarts
+                if any(c not in (None, 0) for c in codes):
+                    failed = True    # lost host detected
+                    break
+                if time.monotonic() - t0 > timeout_s:
+                    failed = True
+                    break
+                time.sleep(poll_s)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            for p in procs:
+                p.wait()
+        if not failed:
+            return restarts
+        restarts += 1
+        if restarts > max_restarts:
+            raise RuntimeError(
+                f"run_supervised: job failed {restarts} times "
+                f"(budget {max_restarts})")
+
+
 def process_local_batch(global_channels: int) -> slice:
     """The channel range this host should feed (host-sharded ingest: each
     host reads only its own capture segment — the multi-host replacement for
