@@ -165,8 +165,13 @@ class IQBaseBandInt(Processor):
         yi = acci >> 14
         # NCO (skipped entirely when the increment is 0, like the C++).
         if self._lut_inc:
+            # int32 wraparound is harmless here: 2^15 divides 2^32, so
+            # (a mod 2^32) mod (128*256) == a mod (128*256); but Python-int
+            # scalars fed to jnp must be pre-reduced or they overflow at
+            # argument parsing (b * inc easily exceeds 2^31).
             counts = (carry["lut_count"]
-                      + jnp.arange(b, dtype=jnp.int32) * self._lut_inc) \
+                      + jnp.arange(b, dtype=jnp.int32)
+                      * jnp.int32(self._lut_inc % (128 * 256))) \
                 % (128 * 256)
             idx = counts >> 8
             if self._neg:
@@ -175,7 +180,8 @@ class IQBaseBandInt(Processor):
             li = self._lut_i[idx]
             zr = (lr * yr - li * yi) >> 16
             zi = (lr * yi + li * yr) >> 16
-            new_count = (carry["lut_count"] + b * self._lut_inc) % (128 * 256)
+            new_count = (carry["lut_count"]
+                         + (b * self._lut_inc) % (128 * 256)) % (128 * 256)
         else:
             zr, zi = yr, yi
             new_count = carry["lut_count"]

@@ -61,7 +61,8 @@ int main(int argc, char **argv) {
   FILE *faud = fopen(argv[3], "wb");
   if (!fin || !faud) { return 1; }
 
-  IQBaseBand<int16_t> baseband(0, 12.5e3, 21, 0, 22050.0);
+  double fc = (argc > 4) ? atof(argv[4]) : 0.0;
+  IQBaseBand<int16_t> baseband(fc, 12.5e3, 21, 0, 22050.0);
   FMDemod<int16_t> demod;
   FMDeemph<int16_t> deemph;
   AudioDump dump(faud);
@@ -95,7 +96,7 @@ int main(int argc, char **argv) {
 
 
 def _build_harness(tmpdir: str) -> str:
-    exe = os.path.join(tempfile.gettempdir(), "sdr_golden_harness")
+    exe = os.path.join(tempfile.gettempdir(), "sdr_golden_harness2")
     src = os.path.join(tmpdir, "harness.cc")
     cfg = os.path.join(tmpdir, "config.hh")
     with open(src, "w") as f:
@@ -856,3 +857,69 @@ def test_int_chain_marginal_snr_decode_parity(tmp_path):
     assert [mm.address for mm in _dec(two)] == [address]
     three = _corrupt_bits(bits, [2 * slot], [3])
     assert [mm.address for mm in _dec(three)] != [address]
+
+
+def test_int_chain_audio_bit_exact_with_active_nco(tmp_path):
+    """Same bit-exact audio gate with the integer LUT NCO ACTIVE: the
+    channel sits at +35 kHz, so IQBaseBand's 8.8 fixed-point phase counter
+    and the Q16 LUT multiply are on the hot path (reference:
+    src/freqshift.hh:58-87)."""
+    import jax.numpy as jnp
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import FMDeemphInt, FMDemodInt, IQBaseBandInt
+
+    exe = _build_harness(str(tmp_path))
+    fs, fc = 220500.0, 35000.0
+    raw0, _ = _pocsag_capture(fs, "NCO ACTIVE GATE", 133742)
+    # shift the capture up to +fc (integer re-quantized)
+    iq = (raw0[0::2].astype(np.float64)
+          + 1j * raw0[1::2].astype(np.float64))
+    n = len(iq)
+    iq = iq * np.exp(2j * np.pi * fc * np.arange(n) / fs)
+    raw = np.empty(2 * n, np.int16)
+    raw[0::2] = np.clip(np.round(iq.real), -32768, 32767).astype(np.int16)
+    raw[1::2] = np.clip(np.round(iq.imag), -32768, 32767).astype(np.int16)
+    n_pad = (-n) % 220500
+    raw = np.concatenate([raw, np.zeros(2 * n_pad, np.int16)])
+
+    cap = os.path.join(str(tmp_path), "cap.raw")
+    aud = os.path.join(str(tmp_path), "audio.raw")
+    raw.tofile(cap)
+    res = subprocess.run([exe, cap, str(fs), aud, str(fc)],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    ref_audio = np.fromfile(aud, np.int16)
+    assert any(ln.startswith("MSG") for ln in res.stdout.splitlines()), \
+        res.stdout
+
+    # our integer chain with the same fc
+    re = raw[0::2].astype(np.int32)
+    im = raw[1::2].astype(np.int32)
+    bb = IQBaseBandInt(fc=fc, width=12.5e3, order=21, decim=10)
+    bb.bind(StreamSpec(np.complex64, fs, len(re)))
+    _, y = bb.apply(bb.init_carry(),
+                    cplx.Complex(jnp.asarray(re), jnp.asarray(im)))
+    bbr = np.asarray(y.re)[:-1]
+    bbi = np.asarray(y.im)[:-1]
+    sizes = [22049]
+    left = len(bbr) - 22049
+    while left > 0:
+        sizes.append(min(22050, left))
+        left -= 22050
+    demod = FMDemodInt(ref_block_quirk=True)
+    demod.bind(StreamSpec(np.complex64, fs / 10, 22050))
+    deemph = FMDeemphInt()
+    deemph.bind(StreamSpec(np.float32, fs / 10, 22050))
+    dc, ec = demod.init_carry(), deemph.init_carry()
+    audio, pos = [], 0
+    for sz in sizes:
+        blk = cplx.Complex(jnp.asarray(bbr[pos:pos + sz]),
+                           jnp.asarray(bbi[pos:pos + sz]))
+        dc, a = demod.apply(dc, blk)
+        ec, a = deemph.apply(ec, a)
+        audio.append(np.asarray(a))
+        pos += sz
+    got = np.concatenate(audio).astype(np.int16)
+    assert len(got) == len(ref_audio)
+    np.testing.assert_array_equal(got, ref_audio)
