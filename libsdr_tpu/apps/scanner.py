@@ -41,26 +41,43 @@ def scanner_pipeline(fs: float, block: int, n_channels: int,
 def scan(iq: np.ndarray, fs: float, n_channels: int, block: int = None,
          baud: float = 1200.0):
     """Decode every channel of a wideband capture; returns
-    {channel_index: [POCSAGMessage, ...]} for channels with traffic."""
+    {channel_index: [POCSAGMessage, ...]} for channels with traffic.
+
+    Uses the fused single-chip scanner path (Pallas PFB+FM kernel ->
+    time-major bit chain, parallel/wideband.py) with on-device bit
+    compaction before readback."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from libsdr_tpu.core.ragged import compact_device
+    from libsdr_tpu.parallel.wideband import build_scanner_step
+
     m = n_channels
     if block is None:
         block = int(fs // 2)
     block -= block % (m * 16)
     if block <= 0:
         raise SystemExit("block too small for the channel count")
-    p = scanner_pipeline(fs, block, m, baud)
-    step = p.compile()
-    carry = p.init_carry()
-    datas, valids = [], []
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
+    sstep, sinit, splace = build_scanner_step(mesh, m, block, fs, baud=baud)
+    cap = int(block / m / (fs / m) * baud * 1.3) + 16
+
+    def step(c, x):
+        c, y = sstep(c, x)
+        d, k = compact_device(y, cap)
+        return c, (d, k)
+
+    step = jax.jit(step)
+    carry = sinit()
+    datas, counts = [], []
     for blk in stream_blocks(iq, block):
-        carry, y = step(carry, cplx.as_block(blk))
-        datas.append(np.asarray(y.data))
-        valids.append(np.asarray(y.valid))
-    data = np.concatenate(datas, -1)
-    valid = np.concatenate(valids, -1)
+        carry, (d, k) = step(carry, splace(blk))
+        datas.append(np.asarray(d))
+        counts.append(np.asarray(k))
     found = {}
     for ch in range(m):
-        bits = compact(Ragged(data[ch], valid[ch]))
+        bits = np.concatenate([d[ch, :k[ch]]
+                               for d, k in zip(datas, counts)])
         msgs = pocsag_decode_bits(bits)
         if msgs:
             found[ch] = msgs
