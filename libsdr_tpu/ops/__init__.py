@@ -5,7 +5,7 @@ with time on the trailing axis, plus (where useful) a plain functional form.
 """
 
 from libsdr_tpu.ops import firdesign
-from libsdr_tpu.ops.fir import FIRFilter, fir_overlap_save
+from libsdr_tpu.ops.fir import FIRFilter, set_mxu_precision, fir_overlap_save
 from libsdr_tpu.ops.nco import FreqShift
 from libsdr_tpu.ops.baseband import IQBaseBand
 from libsdr_tpu.ops.demod import AMDemod, USBDemod, FMDemod, FMDeemph
@@ -35,7 +35,7 @@ __all__ = [
     "fft", "FFTFilterBank", "Channelizer", "WidebandFM", "FMDemodInt",
     "FMDeemphInt", "IQBaseBandInt", "fast_atan2_i16",
     "BitDump", "DebugStore", "TextDump", "AutoCast", "Deinterleave",
-    "firdesign", "FIRFilter", "fir_overlap_save", "FreqShift", "IQBaseBand",
+    "firdesign", "FIRFilter", "set_mxu_precision", "fir_overlap_save", "FreqShift", "IQBaseBand",
     "AMDemod", "USBDemod", "FMDemod", "FMDeemph", "iir_first_order",
     "SubSample", "FracSubSample", "InpolSubSampler", "AGC",
     "Scale", "Cast", "ToComplex", "RealPart", "ImagPart", "IQBalance",

@@ -265,6 +265,27 @@ def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
 USE_PALLAS_MXU = True
 
 
+def set_mxu_precision(mode: str) -> None:
+    """Select the Pallas MXU kernels' matmul precision.
+
+    'high' (default): manual 3-pass bf16 split == XLA HIGH (~1e-5 relative
+    — above every reference parity contract; the chain then runs
+    HBM/matmul-balanced at ~22-26 Gsps on the FM bank).
+    'fast': single-pass bf16 (~3e-3 relative, ~50 dB audio SNR — at the
+    fidelity of an 8-bit source). Measured 2.2-2.6x: ~55 Gsps f32 planes,
+    ~57 Gsps bf16 planes on the 64-channel FM bank.
+
+    Applies to subsequently compiled steps (precision is a static compile
+    parameter); already-compiled steps keep theirs.
+    """
+    from libsdr_tpu.ops import pallas_fir_mxu as pfm
+    try:
+        pfm._PRECISION = {"high": "x3", "fast": "x1"}[mode]
+    except KeyError:
+        raise ConfigError(f"set_mxu_precision: unknown mode {mode!r} "
+                          "(use 'high' or 'fast')") from None
+
+
 def _try_pallas_mxu(x, taps, stride: int, s0: int):
     """The fused Pallas kernel (ops/pallas_fir_mxu) keeps the Toeplitz
     product in VMEM — measured ~14 Gsps vs ~9 for the XLA matmul on wide

@@ -155,13 +155,18 @@ def _make_mm(m_ref, precision):
 
     def mm(x):
         if x.dtype == jnp.bfloat16:
+            if precision == "x1":
+                # fast mode: single pass — tap rounding ~2^-9 relative, at
+                # the fidelity of an 8-bit source (the data is bf16 anyway)
+                return jax.lax.dot_general(
+                    x, m_hi, dn, preferred_element_type=jnp.float32)
             # bf16 input planes (lossless for 8-bit sources): keep the
             # matrix hi/lo split so the FIR itself stays ~f32-accurate.
             return (jax.lax.dot_general(x, m_hi, dn,
                                         preferred_element_type=jnp.float32)
                     + jax.lax.dot_general(x, m_lo, dn,
                                           preferred_element_type=jnp.float32))
-        if precision == "x1":  # perf probe only: 1-pass bf16
+        if precision == "x1":  # fast mode: 1-pass bf16
             return jax.lax.dot_general(
                 x.astype(jnp.bfloat16), m_hi, dn,
                 preferred_element_type=jnp.float32)
@@ -246,8 +251,10 @@ def _kernel(xr_hbm, xi_hbm, m_ref, yr_ref, yi_ref, xr_s, xi_s, hr_s, hi_s,
             ni[:, 2 * s:3 * s] + nr[:, 3 * s:])
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "ft", "interpret"))
-def _fir_mxu_call(xr, xi, m, stride: int, ft: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("stride", "ft", "precision",
+                                             "interpret"))
+def _fir_mxu_call(xr, xi, m, stride: int, ft: int, precision: str = "x3",
+                  interpret: bool = False):
     c, b = xr.shape
     sd = _S * stride
     ct = min(c, _CT)
@@ -257,7 +264,7 @@ def _fir_mxu_call(xr, xi, m, stride: int, ft: int, interpret: bool = False):
     ncols = 2 * _S + 2 * _NSP_PAD
     out = pl.pallas_call(
         functools.partial(_kernel, ct=ct, ft=ft, sd=sd, b_total=b,
-                          precision=_PRECISION),
+                          precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -346,7 +353,7 @@ def fir_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
     c, b = x.re.shape
     ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
     y = _fir_mxu_call(x.re, x.im, _mats_on_device(taps, stride, offset),
-                      stride, ft, interpret=interpret)
+                      stride, ft, precision=_PRECISION, interpret=interpret)
     return y, _NSP_PAD
 
 
@@ -527,11 +534,12 @@ def _kernel_fm(xr_hbm, xi_hbm, m_ref, lr_hbm, li_hbm, dm_ref, dl_hbm,
 
 @functools.partial(jax.jit, static_argnames=("stride", "ft", "rot_re",
                                              "rot_im", "gain", "deemph",
-                                             "mode", "interpret"))
+                                             "mode", "precision",
+                                             "interpret"))
 def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
                  ft: int, rot_re: float, rot_im: float, gain: float,
                  deemph: bool = False, mode: str = "fm",
-                 interpret: bool = False):
+                 precision: str = "x3", interpret: bool = False):
     c, b = xr.shape
     sd = _S * stride
     ct = min(c, _CT)
@@ -541,7 +549,7 @@ def _fir_fm_call(xr, xi, m, lead_r, lead_i, dmat, dlead, stride: int,
     ncols = 2 * _S + 2 * _NSP_PAD
     return pl.pallas_call(
         functools.partial(_kernel_fm, ct=ct, ft=ft, sd=sd, b_total=b,
-                          precision=_PRECISION, rot_re=rot_re,
+                          precision=precision, rot_re=rot_re,
                           rot_im=rot_im, gain=gain, deemph=deemph,
                           mode=mode),
         grid=grid,
@@ -649,7 +657,8 @@ def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
                        lead_last.im.astype(jnp.float32),
                        dmat, dlead.astype(jnp.float32), stride,
                        ft, float(rot.real), float(rot.imag), float(gain),
-                       deemph=use_deemph, mode=mode, interpret=interpret)
+                       deemph=use_deemph, mode=mode, precision=_PRECISION,
+                       interpret=interpret)
     if mode == "am" and use_deemph:
         audio, sd_state = out
         return audio, sd_state, _NSP_PAD
