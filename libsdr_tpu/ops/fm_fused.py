@@ -268,10 +268,28 @@ class FMBasebandFused(Processor):
 
         audio_main = None
         from libsdr_tpu.ops import fir as fir_mod
-        if (fir_mod.USE_PALLAS_MXU  # the documented kill switch covers the
-                # fused kernel too (it subsumes the Pallas FIR backend)
-                and x.re.ndim == 2 and x.re.shape[0] >= 64
-                and jax.default_backend() == "tpu"):
+        on_wide_tpu = (fir_mod.USE_PALLAS_MXU  # kill switch covers the
+                       # fused kernels too (they subsume the Pallas FIR)
+                       and x.re.ndim == 2 and x.re.shape[0] >= 64
+                       and jax.default_backend() == "tpu")
+        if on_wide_tpu and offset == d - 1:
+            # Exact-tiling kernel: consumes tail+block, emits EXACTLY b/d
+            # outputs — no lead/rest segments and no full-rate audio
+            # concat (which cost ~10 ms/iter at the bench config).
+            from libsdr_tpu.ops import pallas_fir_mxu as pfm
+            if pfm.mxu_fir2_supported(t, d, x.re.shape[0], b,
+                                      dtype=x.re.dtype):
+                audio, y_last = pfm.fir_fm_exact(
+                    x, self._g2, d, tail, prev[..., None], self._rot,
+                    self._gain, deemph_ab=self._dab,
+                    deemph_lead=(dstate[..., None]
+                                 if self._dab is not None else None))
+                if self._dab is not None:
+                    dstate = audio[..., -1]
+                new_tail = x[..., b - (t - 1):]
+                return self._carry_out(new_tail, y_last[..., 0],
+                                       dstate), audio
+        if on_wide_tpu:
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
             if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b,
                                      dtype=x.re.dtype):

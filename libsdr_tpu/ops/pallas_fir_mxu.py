@@ -663,3 +663,323 @@ def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
         audio, sd_state = out
         return audio, sd_state, _NSP_PAD
     return out, _NSP_PAD
+
+
+# ---------------------------------------------------------------------------
+# Exact-tiling FIR+FM kernel (v2): with the standard overlap-save offset
+# (first output window ENDING at sample stride-1), the output windows tile
+# the frames exactly — window j ends at sample (j+1)*stride-1, so no window
+# ever crosses its frame's END.  Early windows of each frame instead reach
+# BACK into the previous frame (or the carry tail for frame 0), which the
+# kernel resolves with the PREVIOUS frame's matmul product — already
+# computed one iteration earlier (a (ct, ncols) scratch carries it across
+# grid steps; the block's frame -1 is the zero-padded carry tail, one extra
+# matmul at each channel tile's first step).
+#
+# Consequences vs the v1 kernel: no halo DMAs, no spill garbage, no
+# lead/rest XLA segments and — decisively — no full-rate audio concat in
+# the caller: the kernel emits EXACTLY block/stride outputs.  Measured at
+# the bench config the v1 chain lost ~10 ms/iter to that concat.
+# ---------------------------------------------------------------------------
+
+
+def _build_mats2(taps: np.ndarray, stride: int) -> np.ndarray:
+    """[Ar | Ai | Cr | Ci] (SD, 2S + 2*NSP_PAD) float32 for the v2 layout.
+
+    Window of in-frame output ss starts at lo = stride - T + ss*stride
+    (ends at (ss+1)*stride - 1).  A holds the current-frame taps
+    (rows >= 0); C holds the PREVIOUS-frame taps (rows sd+lo .. sd-1) for
+    the early windows with lo < 0, LEFT-aligned (column ss)."""
+    t = taps.shape[0]
+    s = _S
+    sd = s * stride
+    taps = np.asarray(taps, np.complex128)
+    a = np.zeros((sd, s), np.complex128)
+    c = np.zeros((sd, _NSP_PAD), np.complex128)
+    for ss in range(s):
+        lo = stride - t + ss * stride
+        for i in range(t):
+            m = lo + i
+            if m >= 0:
+                a[m, ss] = taps[i]
+            else:
+                assert ss < _NSP_PAD, "left spill wider than _NSP_PAD"
+                c[sd + m, ss] = taps[i]
+    m2 = np.concatenate([a.real, a.imag, c.real, c.imag], axis=1)
+    return m2.astype(np.float32)
+
+
+def mxu_fir2_supported(taps_len: int, stride: int, channels: int,
+                       block: int, dtype=jnp.float32) -> bool:
+    """Gate for the exact-tiling kernel (offset must be stride-1)."""
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(d) for d in _OK_DTYPES):
+        return False
+    itemsize = dtype.itemsize
+    sd = _S * stride
+    n_left = max(0, -(-(taps_len - stride) // stride))
+    ct = min(channels, _CT)
+    ct_align = 16 if itemsize == 2 else 8
+    return (stride > 1
+            and taps_len - 1 <= sd          # tail pad fits one frame
+            and n_left <= _NSP_PAD
+            and channels % ct == 0 and ct % ct_align == 0
+            and _ft_for(stride, channels, block, itemsize) > 0)
+
+
+def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
+                dm_ref, dl_hbm, *refs, ct: int, ft: int, sd: int,
+                b_total: int, precision, rot_re: float, rot_im: float,
+                gain: float, deemph: bool, mode: str):
+    (audio_ref, ylr_ref, yli_ref, xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s,
+     dp_s, sems) = refs
+    s = _S
+    ci = pl.program_id(0)
+    wi = pl.program_id(1)
+    n_wi = pl.num_programs(1)
+    n_ci = pl.num_programs(0)
+    step = ci * n_wi + wi
+
+    def start_dmas(slot, ci_, wi_):
+        main = pl.multiple_of(wi_ * (ft * sd), 128)
+        row = pl.multiple_of(ci_ * ct, 8)
+        pltpu.make_async_copy(
+            xr_hbm.at[pl.ds(row, ct), pl.ds(main, ft * sd)],
+            xr_s.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            xi_hbm.at[pl.ds(row, ct), pl.ds(main, ft * sd)],
+            xi_s.at[slot], sems.at[slot, 1]).start()
+
+    def wait_dmas(slot):
+        for scr, k in ((xr_s, 0), (xi_s, 1)):
+            pltpu.make_async_copy(scr.at[slot], scr.at[slot],
+                                  sems.at[slot, k]).wait()
+
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        start_dmas(0, ci, wi)
+
+    @pl.when(step + 1 < n_ci * n_wi)
+    def _():
+        nxt_wrap = wi + 1 == n_wi
+        start_dmas(1 - slot,
+                   jnp.where(nxt_wrap, ci + 1, ci),
+                   jnp.where(nxt_wrap, 0, wi + 1))
+
+    wait_dmas(slot)
+    mm = _make_mm(m_ref, precision)
+
+    # Each channel tile's first step: previous-frame product = the
+    # zero-padded carry tail's product; seed discriminator carries.
+    @pl.when(wi == 0)
+    def _():
+        ptr = mm(tpr_ref[:])
+        pti = mm(tpi_ref[:])
+        ppr_s[:] = ptr
+        ppi_s[:] = pti
+        pr_s[:] = lr_hbm[:]
+        pi_s[:] = li_hbm[:]
+        if deemph:
+            dp_s[:] = dl_hbm[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (ct, s), 1)
+    prev_r = pr_s[:]
+    prev_i = pi_s[:]
+    pp_r = ppr_s[:]
+    pp_i = ppi_s[:]
+    if deemph:
+        dmat = dm_ref[:s, :]
+        dpow = dm_ref[s:s + 1, :]
+        dprev = dp_s[:]
+        dm_hi = dmat.astype(jnp.bfloat16)
+        dm_lo = (dmat - dm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn_d = (((1,), (0,)), ((), ()))
+
+        def dmm(v):
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jax.lax.dot_general(v_hi, dm_hi, dn_d,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(v_hi, dm_lo, dn_d,
+                                          preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(v_lo, dm_hi, dn_d,
+                                          preferred_element_type=jnp.float32))
+
+    for f in range(ft):
+        p_r = mm(xr_s[slot, :, f * sd:(f + 1) * sd])
+        p_i = mm(xi_s[slot, :, f * sd:(f + 1) * sd])
+        yr = (p_r[:, :s] - p_i[:, s:2 * s]
+              + pp_r[:, 2 * s:3 * s] - pp_i[:, 3 * s:])
+        yi = (p_i[:, :s] + p_r[:, s:2 * s]
+              + pp_i[:, 2 * s:3 * s] + pp_r[:, 3 * s:])
+        pp_r, pp_i = p_r, p_i
+        if mode == "am":
+            sig = jnp.sqrt(yr * yr + yi * yi)
+            if deemph:
+                sdv = dmm(sig) + dprev * dpow
+                dprev = sdv[:, s - 1:s]
+                au = jnp.float32(gain) * sig / sdv
+            else:
+                au = jnp.float32(gain) * sig
+            audio_ref[:, f * s:(f + 1) * s] = au
+            prev_r = yr[:, s - 1:s]
+            prev_i = yi[:, s - 1:s]
+            continue
+        ypr = jnp.where(col == 0, prev_r, pltpu.roll(yr, 1, axis=1))
+        ypi = jnp.where(col == 0, prev_i, pltpu.roll(yi, 1, axis=1))
+        zr = yr * ypr + yi * ypi
+        zi = yi * ypr - yr * ypi
+        zr2 = zr * jnp.float32(rot_re) - zi * jnp.float32(rot_im)
+        zi2 = zr * jnp.float32(rot_im) + zi * jnp.float32(rot_re)
+        au = jnp.float32(gain) * _atan2_poly(zi2, zr2)
+        if deemph:
+            au = dmm(au) + dprev * dpow
+            dprev = au[:, s - 1:s]
+        audio_ref[:, f * s:(f + 1) * s] = au
+        prev_r = yr[:, s - 1:s]
+        prev_i = yi[:, s - 1:s]
+    ppr_s[:] = pp_r
+    ppi_s[:] = pp_i
+    pr_s[:] = prev_r
+    pi_s[:] = prev_i
+    if deemph:
+        dp_s[:] = dprev
+    # carry exports: y of the final output per channel (constant-index out
+    # blocks — the last step's write per channel tile is what flushes)
+    ylr_ref[:] = prev_r
+    yli_ref[:] = prev_i
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "ft", "rot_re",
+                                             "rot_im", "gain", "deemph",
+                                             "mode", "precision",
+                                             "interpret"))
+def _fir_fm2_call(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead,
+                  stride: int, ft: int, rot_re: float, rot_im: float,
+                  gain: float, deemph: bool = False, mode: str = "fm",
+                  precision: str = "x3", interpret: bool = False):
+    c, b = xr.shape
+    sd = _S * stride
+    ct = min(c, _CT)
+    f_total = b // sd
+    grid = (c // ct, f_total // ft)
+    n_out = f_total * _S
+    ncols = 2 * _S + 2 * _NSP_PAD
+    return pl.pallas_call(
+        functools.partial(_kernel_fm2, ct=ct, ft=ft, sd=sd, b_total=b,
+                          precision=precision, rot_re=rot_re,
+                          rot_im=rot_im, gain=gain, deemph=deemph,
+                          mode=mode),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((sd, ncols), lambda ci, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, sd), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, sd), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_S + 8, _S), lambda ci, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+            pltpu.VMEM((ct, ncols), jnp.float32),
+            pltpu.VMEM((ct, ncols), jnp.float32),
+            pltpu.VMEM((ct, 1), jnp.float32),
+            pltpu.VMEM((ct, 1), jnp.float32),
+            pltpu.VMEM((ct, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * 2 * c * b * (2 * _S + 2 * _NSP_PAD) // stride,
+            bytes_accessed=(xr.dtype.itemsize * 2 * c * b + 4 * c * n_out),
+            transcendentals=c * n_out),
+        interpret=interpret,
+    )(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead)
+
+
+_MAT2_CACHE_NP: dict = {}
+_MAT2_CACHE_DEV: dict = {}
+
+
+def _mats2_on_device(taps: np.ndarray, stride: int):
+    key = (taps.tobytes(), int(stride), _S, _NSP_PAD, "v2")
+    m_np = _MAT2_CACHE_NP.get(key)
+    if m_np is None:
+        m_np = _build_mats2(taps, stride)
+        if len(_MAT2_CACHE_NP) > 64:
+            _MAT2_CACHE_NP.clear()
+        _MAT2_CACHE_NP[key] = m_np
+    if _tracing_active():
+        return jnp.asarray(m_np)
+    m = _MAT2_CACHE_DEV.get(key)
+    if m is None:
+        m = jnp.asarray(m_np)
+        if len(_MAT2_CACHE_DEV) > 64:
+            _MAT2_CACHE_DEV.clear()
+        _MAT2_CACHE_DEV[key] = m
+    return m
+
+
+def fir_fm_exact(x: Complex, taps: np.ndarray, stride: int,
+                 tail: Complex, lead_last: Complex, rot: complex,
+                 gain: float, deemph_ab=None, deemph_lead=None,
+                 mode: str = "fm", interpret: bool = False):
+    """Exact-tiling fused FIR + demod: consumes the WHOLE block plus the
+    (C, T-1) carry ``tail`` and returns (audio (C, B/stride), y_last
+    Complex (C, 1)) with NO garbage outputs — output j is the window
+    ending at input sample (j+1)*stride - 1 (the standard overlap-save
+    offset = stride-1 convention of ops/fir.py).
+
+    ``lead_last``: y[-1] of the previous block (seeds the discriminator);
+    ``deemph_ab``/``deemph_lead``: first-order state as in fir_fm_mxu."""
+    taps = np.asarray(taps)
+    if not np.iscomplexobj(taps):
+        taps = taps.astype(np.complex128)
+    rot = complex(rot)
+    c, b = x.re.shape
+    t = taps.shape[0]
+    sd = _S * stride
+    use_deemph = deemph_ab is not None
+    if use_deemph:
+        dmat = jnp.asarray(_deemph_mat(*deemph_ab))
+        dlead = deemph_lead
+    else:
+        dmat = jnp.zeros((_S + 8, _S), jnp.float32)
+        dlead = jnp.zeros((c, 1), jnp.float32)
+    ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
+    # zero-pad the carry tail to one frame (frame "-1" of the block)
+    pad = sd - (t - 1)
+    zpad = jnp.zeros((c, pad), x.re.dtype)
+    tpr = jnp.concatenate([zpad, tail.re.astype(x.re.dtype)], axis=-1)
+    tpi = jnp.concatenate([zpad, tail.im.astype(x.im.dtype)], axis=-1)
+    audio, ylr, yli = _fir_fm2_call(
+        x.re, x.im, _mats2_on_device(taps, stride), tpr, tpi,
+        lead_last.re.astype(jnp.float32), lead_last.im.astype(jnp.float32),
+        dmat, dlead.astype(jnp.float32), stride, ft,
+        float(rot.real), float(rot.imag), float(gain),
+        deemph=use_deemph, mode=mode, precision=_PRECISION,
+        interpret=interpret)
+    return audio, Complex(ylr, yli)
