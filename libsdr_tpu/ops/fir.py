@@ -239,6 +239,18 @@ def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
     if t <= 1:
         return _conv1d(x[..., offset:], taps, stride), tail
     b = x.shape[-1] if not isinstance(x, Complex) else x.re.shape[-1]
+    # Exact-tiling Pallas kernel (wide complex banks, the standard
+    # offset=stride-1): consumes tail+block and emits exactly B/stride
+    # outputs — no lead/main/rest split, no output concat.
+    if (USE_PALLAS_MXU and stride > 1 and offset == stride - 1
+            and isinstance(x, Complex) and isinstance(tail, Complex)
+            and x.re.ndim == 2 and x.re.shape[0] >= 64
+            and jax.default_backend() == "tpu"):
+        from libsdr_tpu.ops import pallas_fir_mxu as pfm
+        if pfm.mxu_fir2_supported(t, stride, x.re.shape[0], b,
+                                  dtype=x.re.dtype):
+            y = pfm.fir_exact(x, taps, stride, tail)
+            return y, x[..., b - (t - 1):]
     # Output j's window covers input samples [offset + j*stride - (t-1),
     # offset + j*stride] in tail-concatenated coordinates shifted by t-1:
     # global window start s(j) = offset + j*stride - (t-1) relative to x[0].

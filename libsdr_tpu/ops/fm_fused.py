@@ -118,9 +118,23 @@ class AMBasebandFused(Processor):
 
         audio_main = None
         from libsdr_tpu.ops import fir as fir_mod
-        if (fir_mod.USE_PALLAS_MXU and self._ab is not None
-                and x.re.ndim == 2 and x.re.shape[0] >= 64
-                and jax.default_backend() == "tpu"):
+        on_wide_tpu = (fir_mod.USE_PALLAS_MXU and self._ab is not None
+                       and x.re.ndim == 2 and x.re.shape[0] >= 64
+                       and jax.default_backend() == "tpu")
+        if on_wide_tpu and offset == d - 1:
+            from libsdr_tpu.ops import pallas_fir_mxu as pfm
+            if pfm.mxu_fir2_supported(t, d, x.re.shape[0], b,
+                                      dtype=x.re.dtype):
+                c = x.re.shape[0]
+                audio, exports = pfm.fir_fm_exact(
+                    x, self._g2, d, tail,
+                    cplx.zeros((c, 1), jnp.float32), 1.0, self._gain,
+                    deemph_ab=self._ab,
+                    deemph_lead=sd_state[..., None], mode="am")
+                sd_state = exports.re[..., 0]   # AGC envelope state export
+                new_tail = x[..., b - (t - 1):]
+                return (new_tail, sd_state), audio
+        if on_wide_tpu:
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
             if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b,
                                      dtype=x.re.dtype):

@@ -731,8 +731,12 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
                 dm_ref, dl_hbm, *refs, ct: int, ft: int, sd: int,
                 b_total: int, precision, rot_re: float, rot_im: float,
                 gain: float, deemph: bool, mode: str):
-    (audio_ref, ylr_ref, yli_ref, xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s,
-     dp_s, sems) = refs
+    if mode == "fir":
+        (yr_ref, yi_ref, xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s,
+         dp_s, sems) = refs
+    else:
+        (audio_ref, ylr_ref, yli_ref, xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s,
+         dp_s, sems) = refs
     s = _S
     ci = pl.program_id(0)
     wi = pl.program_id(1)
@@ -815,6 +819,10 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
         yi = (p_i[:, :s] + p_r[:, s:2 * s]
               + pp_i[:, 2 * s:3 * s] + pp_r[:, 3 * s:])
         pp_r, pp_i = p_r, p_i
+        if mode == "fir":
+            yr_ref[:, f * s:(f + 1) * s] = yr
+            yi_ref[:, f * s:(f + 1) * s] = yi
+            continue
         if mode == "am":
             sig = jnp.sqrt(yr * yr + yi * yi)
             if deemph:
@@ -842,14 +850,21 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
         prev_i = yi[:, s - 1:s]
     ppr_s[:] = pp_r
     ppi_s[:] = pp_i
+    if mode == "fir":
+        return
     pr_s[:] = prev_r
     pi_s[:] = prev_i
     if deemph:
         dp_s[:] = dprev
-    # carry exports: y of the final output per channel (constant-index out
-    # blocks — the last step's write per channel tile is what flushes)
-    ylr_ref[:] = prev_r
-    yli_ref[:] = prev_i
+    # carry exports (constant-index out blocks — the last step's write per
+    # channel tile is what flushes): y of the final output, except in AM
+    # mode with AGC where the first slot carries the AGC envelope state.
+    if mode == "am" and deemph:
+        ylr_ref[:] = dprev
+        yli_ref[:] = prev_i
+    else:
+        ylr_ref[:] = prev_r
+        yli_ref[:] = prev_i
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "ft", "rot_re",
@@ -891,17 +906,20 @@ def _fir_fm2_call(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead,
             pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((c, n_out), jnp.float32),
-                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((c, 1), jnp.float32)],
+        out_specs=([pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
+                                 memory_space=pltpu.VMEM)] * 2
+                   if mode == "fir" else
+                   [pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                                 memory_space=pltpu.VMEM)]),
+        out_shape=([jax.ShapeDtypeStruct((c, n_out), jnp.float32)] * 2
+                   if mode == "fir" else
+                   [jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+                    jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((c, 1), jnp.float32)]),
         scratch_shapes=[
             pltpu.VMEM((2, ct, ft * sd), xr.dtype),
             pltpu.VMEM((2, ct, ft * sd), xr.dtype),
@@ -983,3 +1001,29 @@ def fir_fm_exact(x: Complex, taps: np.ndarray, stride: int,
         deemph=use_deemph, mode=mode, precision=_PRECISION,
         interpret=interpret)
     return audio, Complex(ylr, yli)
+
+
+def fir_exact(x: Complex, taps: np.ndarray, stride: int, tail: Complex,
+              interpret: bool = False) -> Complex:
+    """Exact-tiling decimating FIR: consumes the block plus the (C, T-1)
+    carry tail and returns Complex (C, B/stride) — every output valid
+    (window j ends at sample (j+1)*stride - 1, the fir_overlap_save
+    offset = stride-1 convention)."""
+    taps = np.asarray(taps)
+    if not np.iscomplexobj(taps):
+        taps = taps.astype(np.complex128)
+    c, b = x.re.shape
+    t = taps.shape[0]
+    sd = _S * stride
+    ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
+    pad = sd - (t - 1)
+    zpad = jnp.zeros((c, pad), x.re.dtype)
+    tpr = jnp.concatenate([zpad, tail.re.astype(x.re.dtype)], axis=-1)
+    tpi = jnp.concatenate([zpad, tail.im.astype(x.im.dtype)], axis=-1)
+    zc = jnp.zeros((c, 1), jnp.float32)
+    dmat = jnp.zeros((_S + 8, _S), jnp.float32)
+    yr, yi = _fir_fm2_call(
+        x.re, x.im, _mats2_on_device(taps, stride), tpr, tpi, zc, zc,
+        dmat, zc, stride, ft, 1.0, 0.0, 1.0, deemph=False, mode="fir",
+        precision=_PRECISION, interpret=interpret)
+    return Complex(yr, yi)

@@ -316,3 +316,69 @@ def test_pallas_exact_tiling_fm_kernel(rng):
     err = np.abs(got - out_ref)
     assert np.median(err) < 1e-4
     assert np.percentile(err, 99.5) < 5e-3
+
+
+def test_pallas_exact_tiling_am_agc(rng):
+    """fir_fm_exact mode='am': exact-tiling AM + AGC with the envelope
+    state export, streamed over blocks vs the per-window oracle."""
+    from libsdr_tpu.ops.pallas_fir_mxu import (_S, fir_fm_exact,
+                                               mxu_fir2_supported)
+
+    C, D, T = 8, 2, 37
+    B = 2 * 8 * _S * D
+    assert mxu_fir2_supported(T, D, C, B)
+    x = (rng.normal(size=(C, 2 * B)) + 1j * rng.normal(size=(C, 2 * B))
+         ).astype(np.complex64)
+    g = rng.normal(size=T) + 1j * rng.normal(size=T)
+    lam, gain = 0.96, 0.125
+    tail = cplx.zeros((C, T - 1))
+    sd = jnp.full((C, 1), 0.5, jnp.float32)
+    outs = []
+    for blk in range(2):
+        xb = cplx.as_block(x[:, blk * B:(blk + 1) * B])
+        audio, exp = fir_fm_exact(xb, g, D, tail,
+                                  cplx.zeros((C, 1)), 1.0, gain,
+                                  deemph_ab=(lam, 1 - lam),
+                                  deemph_lead=sd, mode="am",
+                                  interpret=True)
+        outs.append(np.asarray(audio))
+        tail = xb[..., B - (T - 1):]
+        sd = exp.re   # AGC state export
+    got = np.concatenate(outs, -1)
+    xc = np.concatenate([np.zeros((C, T - 1), np.complex128),
+                         x.astype(np.complex128)], axis=-1)
+    for c in (0, 5):
+        sdv = 0.5
+        for j in range(B // D + 5):   # crosses the block boundary
+            y = np.dot(g, xc[c, j * D + (D - 1):j * D + (D - 1) + T])
+            sig = abs(y)
+            sdv = lam * sdv + (1 - lam) * sig
+            au = gain * sig / sdv
+            assert abs(got[c, j] - au) < 5e-3 * max(1.0, au), \
+                (c, j, got[c, j], au)
+
+
+def test_pallas_exact_tiling_fir(rng):
+    """fir_exact: plain decimating FIR via the exact-tiling kernel vs the
+    conv-path fir_overlap_save, streamed (interpret mode)."""
+    from libsdr_tpu.ops.pallas_fir_mxu import (_S, fir_exact,
+                                               mxu_fir2_supported)
+
+    C, D, T = 8, 2, 53
+    B = 2 * 8 * _S * D
+    assert mxu_fir2_supported(T, D, C, B)
+    x = (rng.normal(size=(C, 2 * B)) + 1j * rng.normal(size=(C, 2 * B))
+         ).astype(np.complex64)
+    g = rng.normal(size=T) + 1j * rng.normal(size=T)
+    tail_a = cplx.zeros((C, T - 1))
+    tail_b = cplx.zeros((C, T - 1))
+    for blk in range(2):
+        xb = cplx.as_block(x[:, blk * B:(blk + 1) * B])
+        y_ref, tail_a = fir_overlap_save(g, xb, tail_a, stride=D,
+                                         offset=D - 1)
+        y = fir_exact(xb, g, D, tail_b, interpret=True)
+        tail_b = xb[..., B - (T - 1):]
+        a = cplx.to_numpy(y_ref)
+        bv = cplx.to_numpy(y)
+        assert a.shape == bv.shape == (C, B // D)
+        assert np.abs(a - bv).max() / np.abs(a).max() < 2e-4, blk
