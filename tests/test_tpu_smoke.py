@@ -181,3 +181,37 @@ def test_end_to_end_fm_tone_on_chip():
     fr = np.fft.rfftfreq(len(seg), 1 / 240_000)
     assert abs(fr[np.argmax(sp)] - 1000.0) < 5
     assert 20 * np.log10(sp.max() / np.median(sp)) > 60
+
+
+def test_fast_precision_mode_on_chip():
+    """set_mxu_precision('fast') (single-pass bf16, the headline config)
+    must stay within ~8-bit-source fidelity of the high-precision chain on
+    a real FM signal (measured ~93 dB)."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import (FMDemod, FMDeemph, IQBaseBand,
+                                set_mxu_precision, siggen)
+    from tests.conftest import snr_db
+
+    fs = 960_000.0
+    n_ch, block = 64, 1 << 17
+    audio = siggen.sine(fs, block + 4096, 900.0, amps=0.7)
+    iq = siggen.fm_modulate(fs, audio, deviation=75_000.0,
+                            carrier=120_000.0)[:block]
+    xb = cplx.as_block(np.tile(iq[None, :], (n_ch, 1)))
+
+    def run():
+        p = Pipeline([IQBaseBand(fc=120_000, width=200_000, order=64,
+                                 decim=4, design="textbook"),
+                      FMDemod(), FMDeemph()])
+        p.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
+        _, y = p.apply(p.init_carry(), xb)
+        return np.asarray(y)
+
+    y_hi = run()
+    set_mxu_precision("fast")
+    try:
+        y_fast = run()
+    finally:
+        set_mxu_precision("high")
+    snr = snr_db(y_hi[0], y_fast[0])
+    assert snr > 70.0, snr
