@@ -382,3 +382,30 @@ def test_pallas_exact_tiling_fir(rng):
         bv = cplx.to_numpy(y)
         assert a.shape == bv.shape == (C, B // D)
         assert np.abs(a - bv).max() / np.abs(a).max() < 2e-4, blk
+
+
+@pytest.mark.parametrize("T,D", [(17, 2), (64, 4), (129, 4), (65, 8)])
+def test_pallas_exact_tiling_shapes(rng, T, D):
+    """fir_exact across tap/stride shapes incl. T spanning multiple frames
+    of left-spill and T-1 == sd edge cases."""
+    from libsdr_tpu.ops.pallas_fir_mxu import (_S, fir_exact,
+                                               mxu_fir2_supported)
+
+    C = 8
+    B = 2 * 2 * _S * D
+    assert mxu_fir2_supported(T, D, C, B)
+    x = (rng.normal(size=(C, B)) + 1j * rng.normal(size=(C, B))
+         ).astype(np.complex64)
+    g = rng.normal(size=T) + 1j * rng.normal(size=T)
+    tail = cplx.as_block(
+        (rng.normal(size=(C, T - 1)) + 1j * rng.normal(size=(C, T - 1))
+         ).astype(np.complex64))
+    y = cplx.to_numpy(fir_exact(cplx.as_block(x), g, D, tail,
+                                interpret=True))
+    xc = np.concatenate([cplx.to_numpy(tail), x.astype(np.complex128)],
+                        axis=-1)
+    for j in (0, 1, _S - 1, _S, 2 * _S - 1, B // D - 1):
+        orc = np.array([np.dot(g, xc[c, j * D + D - 1:j * D + D - 1 + T])
+                        for c in range(C)])
+        err = np.abs(y[:, j] - orc).max() / (np.abs(orc).max() + 1e-30)
+        assert err < 2e-4, (T, D, j, err)

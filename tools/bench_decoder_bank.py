@@ -62,8 +62,10 @@ def main() -> None:
 
     n_ch = args.channels
     fs = args.fs
-    block = int(fs * 0.5)  # 0.5 s blocks
-    block -= block % 1000
+    # ~0.5 s blocks, rounded to a whole number of kernel frames so the
+    # exact-tiling Pallas front end engages (decim 10 -> frames of 1280).
+    block = int(fs * 0.5)
+    block -= block % (1280 * 4)
     n = int(fs * args.seconds)
     n -= n % block
 
