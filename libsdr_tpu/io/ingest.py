@@ -9,8 +9,8 @@ from typing import Iterator
 
 import numpy as np
 
-from libsdr_tpu.native import FilePump, RingBuffer, u8_iq_to_planar, \
-    s16_iq_to_planar
+from libsdr_tpu.native import (FilePump, RingBuffer, u8_iq_to_planar,
+                               u8_iq_to_planar_bf16, s16_iq_to_planar)
 
 
 def stream_raw_iq(path: str, block_size: int, dtype=np.uint8,
@@ -46,6 +46,56 @@ def stream_raw_iq(path: str, block_size: int, dtype=np.uint8,
                 continue
             re, im = convert(raw.view(dtype))
             yield (re + 1j * im).astype(np.complex64)
+    finally:
+        pump.stop()
+        ring.close()
+
+
+def stream_raw_iq_bf16(path: str, block_size: int,
+                       ring_bytes: int = 1 << 24) -> Iterator:
+    """Like :func:`stream_raw_iq` for u8 captures, but the native converter
+    emits bfloat16 PLANES directly (lossless for 8-bit sources, half the
+    host->device and HBM traffic): yields planar
+    :class:`~libsdr_tpu.core.cplx.Complex` blocks with bf16 planes — feed a
+    pipeline bound with ``plane_dtype=jnp.bfloat16`` (or behind
+    ``AutoCast(compute='bfloat16')`` semantics).  Final partial block is
+    zero-padded."""
+    import jax.numpy as jnp
+
+    from libsdr_tpu.core.cplx import Complex
+
+    def to_block(re_u16, im_u16, pad_to=None):
+        re = np.asarray(re_u16).view(jnp.bfloat16)
+        im = np.asarray(im_u16).view(jnp.bfloat16)
+        if pad_to is not None and len(re) < pad_to:
+            z = np.zeros(pad_to, dtype=re.dtype)
+            z[:len(re)] = re
+            re, z2 = z, np.zeros(pad_to, dtype=im.dtype)
+            z2[:len(im)] = im
+            im = z2
+        return Complex(jnp.asarray(re), jnp.asarray(im))
+
+    bytes_per_block = block_size * 2
+    ring = RingBuffer(max(ring_bytes, 4 * bytes_per_block))
+    pump = FilePump(path, ring)
+    try:
+        while True:
+            raw = ring.take(bytes_per_block)
+            if raw is None:
+                if ring.eos:
+                    n = ring.available
+                    if n == 0:
+                        break
+                    raw = ring.take((n // 2) * 2)
+                    if raw is None or len(raw) == 0:
+                        break
+                    re, im = u8_iq_to_planar_bf16(raw)
+                    yield to_block(re, im, pad_to=block_size)
+                    break
+                time.sleep(0.0005)
+                continue
+            re, im = u8_iq_to_planar_bf16(raw)
+            yield to_block(re, im)
     finally:
         pump.stop()
         ring.close()

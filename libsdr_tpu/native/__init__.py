@@ -102,6 +102,27 @@ def u8_iq_to_planar(src: np.ndarray):
     return np.ascontiguousarray(f[0::2]), np.ascontiguousarray(f[1::2])
 
 
+def u8_iq_to_planar_bf16(src: np.ndarray):
+    """Interleaved u8 IQ -> (re, im) bfloat16 planes (as uint16 bit
+    patterns; view with ml_dtypes/jnp.bfloat16).  Lossless for 8-bit
+    sources and HALF the ingest/HBM traffic of f32 — the storage format
+    the fused Pallas kernels consume directly
+    (AutoCast(compute='bfloat16') semantics at the native ingest)."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    n = len(src) // 2
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "u8_iq_to_planar_bf16"):
+        re = np.empty(n, np.uint16)
+        im = np.empty(n, np.uint16)
+        lib.u8_iq_to_planar_bf16(_ptr(src), n, _ptr(re), _ptr(im))
+        return re, im
+    # numpy fallback: truncate f32 to its upper 16 bits (exact for these
+    # values, see the C++ comment)
+    f = ((src.astype(np.float32) - 128.0) / 128.0).view(np.uint32)
+    h = (f >> 16).astype(np.uint16)
+    return np.ascontiguousarray(h[0::2]), np.ascontiguousarray(h[1::2])
+
+
 def s16_iq_to_planar(src: np.ndarray):
     src = np.ascontiguousarray(src, dtype=np.int16)
     n = len(src) // 2

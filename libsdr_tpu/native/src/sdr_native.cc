@@ -49,6 +49,27 @@ void s16_to_f32(const int16_t *src, int64_t n, float *dst) {
   for (int64_t i = 0; i < n; ++i) dst[i] = (float)src[i] * scale;
 }
 
+// u8 wire format straight to bfloat16 planes: HALF the host->device and
+// HBM traffic of f32, and LOSSLESS for 8-bit sources (bf16's 8 significand
+// bits hold every value of (u8 - 128)/128 exactly).  bf16 is the upper 16
+// bits of the f32 representation; all these values are exact in bf16, so
+// truncation == round-to-nearest here and a 256-entry LUT suffices.
+void u8_iq_to_planar_bf16(const uint8_t *src, int64_t n_pairs,
+                          uint16_t *re, uint16_t *im) {
+  uint16_t lut[256];
+  const float scale = 1.0f / 128.0f;
+  for (int v = 0; v < 256; ++v) {
+    float f = ((float)v - 128.0f) * scale;
+    uint32_t bits;
+    __builtin_memcpy(&bits, &f, 4);
+    lut[v] = (uint16_t)(bits >> 16);
+  }
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    re[i] = lut[src[2 * i]];
+    im[i] = lut[src[2 * i + 1]];
+  }
+}
+
 void f32_planar_to_s16_interleaved(const float *re, const float *im,
                                    int64_t n_pairs, int16_t *dst) {
   for (int64_t i = 0; i < n_pairs; ++i) {

@@ -134,3 +134,34 @@ def test_native_ax25_deframer_matches_python():
                    (str(b.frm), str(b.to), b.payload,
                     [str(v) for v in b.via])
     assert len(AX25Decoder().process(stream)) == 2
+
+
+def test_u8_to_bf16_converter_lossless(tmp_path):
+    """Native u8 -> bf16-plane converter: bit-lossless for every u8 value
+    (bf16 holds (v-128)/128 exactly), and the streaming bf16 ingest path
+    yields planar blocks matching the f32 path."""
+    import jax.numpy as jnp
+    from libsdr_tpu.native import u8_iq_to_planar, u8_iq_to_planar_bf16
+
+    src = np.arange(512, dtype=np.uint8)  # every value, interleaved IQ
+    re32, im32 = u8_iq_to_planar(src)
+    re16, im16 = u8_iq_to_planar_bf16(src)
+    np.testing.assert_array_equal(
+        np.asarray(re16).view(jnp.bfloat16).astype(np.float32), re32)
+    np.testing.assert_array_equal(
+        np.asarray(im16).view(jnp.bfloat16).astype(np.float32), im32)
+
+    # streaming ingest parity
+    from libsdr_tpu.io.ingest import stream_raw_iq, stream_raw_iq_bf16
+    rng = np.random.default_rng(3)
+    cap = tmp_path / "cap.bin"
+    data = rng.integers(0, 256, size=2 * 3000, dtype=np.uint8)
+    data.tofile(cap)
+    blocks32 = list(stream_raw_iq(str(cap), 1024))
+    blocks16 = list(stream_raw_iq_bf16(str(cap), 1024))
+    assert len(blocks32) == len(blocks16)
+    for b32, b16 in zip(blocks32, blocks16):
+        np.testing.assert_array_equal(
+            np.asarray(b16.re).astype(np.float32), b32.real)
+        np.testing.assert_array_equal(
+            np.asarray(b16.im).astype(np.float32), b32.imag)
