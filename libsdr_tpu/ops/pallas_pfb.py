@@ -65,6 +65,12 @@ _VMEM_BUDGET = 12_500_000
 _OK_DTYPES = (jnp.float32, jnp.bfloat16)
 
 
+def _kernel_precision() -> str:
+    """Follows ops.set_mxu_precision ('x3' high / 'x1' fast)."""
+    from libsdr_tpu.ops import pallas_fir_mxu as pfm
+    return pfm._PRECISION
+
+
 def lane_of_channel(m: int) -> np.ndarray:
     """perm[c] = output lane carrying channel c (center freq c*fs/M).
 
@@ -116,7 +122,8 @@ def mxu_pfb_supported(m: int, f_total: int, p: int,
 
 def _kernel_pfb(hr_ref, hi_ref, taps_ref, twr_ref, twi_ref, wr_ref, wim_ref,
                 pr_in, pi_in, xr_hbm, xi_hbm, *refs, tt: int, m: int,
-                n2: int, p: int, gain: float, demod: bool):
+                n2: int, p: int, gain: float, demod: bool,
+                precision: str = "x3"):
     if demod:
         (audio_ref, ylr_ref, yli_ref, wr_win, wi_win, gr_s, gi_s, pr_s,
          pi_s, sems) = refs
@@ -203,6 +210,9 @@ def _kernel_pfb(hr_ref, hi_ref, taps_ref, twr_ref, twi_ref, wr_ref, wim_ref,
     def rmm(x, mat):
         hi, lo = mat
         xh = x.astype(jnp.bfloat16)
+        if precision == "x1":   # fast mode (ops.set_mxu_precision)
+            return jax.lax.dot_general(xh, hi, dn,
+                                       preferred_element_type=jnp.float32)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         return (jax.lax.dot_general(xh, hi, dn,
                                     preferred_element_type=jnp.float32)
@@ -314,15 +324,16 @@ def _consts(m: int, taps3: np.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "p", "tt", "gain",
-                                             "demod", "interpret"))
+                                             "demod", "precision",
+                                             "interpret"))
 def _pfb_call(xr, xi, hr, hi, taps, twr, twi, wr, wim, pr, pi, m: int,
               p: int, tt: int, gain: float, demod: bool,
-              interpret: bool = False):
+              precision: str = "x3", interpret: bool = False):
     f_total = xr.shape[0]
     n2 = m // _LANES
     grid = (f_total // tt,)
     kernel = functools.partial(_kernel_pfb, tt=tt, m=m, n2=n2, p=p,
-                               gain=gain, demod=demod)
+                               gain=gain, demod=demod, precision=precision)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_block = pl.BlockSpec((tt, m), lambda wi: (wi, 0),
                              memory_space=pltpu.VMEM)
@@ -412,7 +423,8 @@ def pfb_mxu(x: Complex, hist: Complex, taps3: np.ndarray, m: int,
                      twi=twi, wr=wr, wim=wim,
                      pr=prev.re.astype(jnp.float32),
                      pi=prev.im.astype(jnp.float32), m=m, p=p, tt=tt,
-                     gain=float(gain), demod=demod, interpret=interpret)
+                     gain=float(gain), demod=demod,
+                     precision=_kernel_precision(), interpret=interpret)
     if demod:
         audio, ylr, yli = outs
         return audio, Complex(ylr[0:1, :], yli[0:1, :])
