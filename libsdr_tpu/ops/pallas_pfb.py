@@ -94,9 +94,12 @@ def channel_of_lane(m: int) -> np.ndarray:
 
 def _tt_for(m: int, f_total: int, p: int, itemsize: int,
             demod: bool = False) -> int:
-    """Largest frame-tile (rows per grid step) fitting the VMEM budget."""
+    """Largest frame-tile (rows per grid step) fitting the VMEM budget.
+    The tile must cover the polyphase depth (tt >= p): the history scratch
+    refills from the block tail rows [tt-p, tt) and the pfb window slices
+    assume k <= p <= tt."""
     for tt in (512, 256, 128, 64, 32, 16, 8):
-        if f_total % tt or f_total < tt:
+        if f_total % tt or f_total < tt or tt < p:
             continue
         blocks = 2 * 2 * tt * m * itemsize          # double-buffered DMA
         win = 2 * (tt + p + 16) * m * itemsize      # assembled windows

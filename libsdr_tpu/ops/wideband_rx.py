@@ -35,7 +35,6 @@ from libsdr_tpu.core.block import Processor
 from libsdr_tpu.core.cplx import Complex
 from libsdr_tpu.core.stream import ConfigError, StreamSpec
 from libsdr_tpu.ops.channelizer import fold_commutator, prototype_lowpass
-from libsdr_tpu.ops import pallas_pfb
 
 
 class WidebandFM(Processor):
@@ -71,6 +70,8 @@ class WidebandFM(Processor):
         if len(proto) != m * p:
             raise ConfigError(
                 f"WidebandFM: prototype length {len(proto)} != M*P = {m * p}")
+        # Pallas modules load lazily (bind time, not package import time).
+        from libsdr_tpu.ops import pallas_pfb
         self._taps3 = fold_commutator(proto, m, p)
         self._taps3_dev = jnp.asarray(self._taps3)
         self._lp = pallas_pfb.lane_of_channel(m)
@@ -100,6 +101,7 @@ class WidebandFM(Processor):
         return (hist, prev)
 
     def apply(self, carry, x):
+        from libsdr_tpu.ops import pallas_pfb
         from libsdr_tpu.parallel.wideband import channelize_segment
 
         m, p = self.m, self.p

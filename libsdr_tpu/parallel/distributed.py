@@ -48,12 +48,12 @@ def place_global(x, mesh: Mesh, spec) -> jax.Array:
     """Place host data as a global array over ``mesh`` with PartitionSpec
     ``spec`` — works in BOTH single- and multi-process runs.
 
-    Single-process: plain ``jax.device_put``.  Multi-process: each process
-    materializes only the shards on ITS OWN devices
-    (``jax.make_array_from_callback`` asks for addressable shards only) —
-    this IS the host-sharded ingest contract: with channels/time sharded
-    across hosts, each host reads only its own capture range
-    (:func:`process_local_batch`), never the full stream."""
+    ``x`` must be the FULL global array on every process (fine for carries
+    and replicated state; the callback receives GLOBAL shard indices and
+    slices ``x`` with them).  Only the shards on this process's devices are
+    materialized/transferred.  For true host-sharded ingest — each host
+    reading ONLY its own capture range — use :func:`place_global_ingest`.
+    """
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, spec)
@@ -62,6 +62,23 @@ def place_global(x, mesh: Mesh, spec) -> jax.Array:
     x_np = np.asarray(x)
     return jax.make_array_from_callback(x_np.shape, sharding,
                                         lambda idx: x_np[idx])
+
+
+def place_global_ingest(global_shape, mesh: Mesh, spec, fetch) -> jax.Array:
+    """Host-sharded ingest: build a global array where each process reads
+    ONLY its own shards — the multi-host replacement for the reference's
+    single RTL ingest thread.
+
+    ``fetch(index)`` is called once per addressable shard with the GLOBAL
+    index (a tuple of slices into ``global_shape``) and must return that
+    shard's data (e.g. a pread of the capture at the sliced offsets, or
+    this host's DMA region).  Shards on other hosts are never requested
+    here, so no host needs the full stream."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(tuple(global_shape), sharding,
+                                        lambda idx: np.asarray(fetch(idx)))
 
 
 def _shard_key(index) -> str:

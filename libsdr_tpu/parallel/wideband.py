@@ -223,24 +223,21 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
         bsc, bits = bs_l.apply(bsc, sym)
         return (new_hist, new_prev, bsc), bits
 
-    if n == 1:
-        step = jax.jit(step_local)
-    else:
-        # Derive the BitStream carry spec from its own pytree (scalars
-        # replicated, per-channel leaves sharded on the channel axis) so the
-        # scanner never restates bitsync.py's internal state fields.
-        def leaf_spec(v):
-            return P() if np.ndim(v) == 0 else P(
-                axis, *([None] * (np.ndim(v) - 1)))
-        bs_carry_spec = jax.tree_util.tree_map(leaf_spec, bs_g.init_carry())
-        from libsdr_tpu.core.ragged import Ragged
-        step = jax.jit(jax.shard_map(
-            step_local, mesh=mesh,
-            in_specs=((P(), P(axis), bs_carry_spec), P(axis)),
-            out_specs=((P(), P(axis), bs_carry_spec),
-                       Ragged(P(axis, None), P(axis, None))),
-            check_vma=False,
-        ))
+    # (n == 1 returned above with the fused single-chip path.)
+    # Derive the BitStream carry spec from its own pytree (scalars
+    # replicated, per-channel leaves sharded on the channel axis) so the
+    # scanner never restates bitsync.py's internal state fields.
+    def leaf_spec(v):
+        return P() if np.ndim(v) == 0 else P(
+            axis, *([None] * (np.ndim(v) - 1)))
+    bs_carry_spec = jax.tree_util.tree_map(leaf_spec, bs_g.init_carry())
+    step = jax.jit(jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=((P(), P(axis), bs_carry_spec), P(axis)),
+        out_specs=((P(), P(axis), bs_carry_spec),
+                   Ragged(P(axis, None), P(axis, None))),
+        check_vma=False,
+    ))
 
     wb_init, place_input = _wideband_carry_and_place(mesh, m, p, axis)
 
