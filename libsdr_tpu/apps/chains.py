@@ -6,11 +6,10 @@ from __future__ import annotations
 import numpy as np
 
 from libsdr_tpu import Pipeline, StreamSpec
-from libsdr_tpu.core import cplx, run_pipeline, stream_blocks
+from libsdr_tpu.core import cplx, stream_blocks
 from libsdr_tpu.core.ragged import Ragged, compact
 from libsdr_tpu.ops import (AGC, AMDemod, ASKDetector, BitStream, FMDemod,
-                            FMDeemph, FreqShift, FSKDetector, IQBaseBand,
-                            USBDemod)
+                            FMDeemph, FSKDetector, IQBaseBand, USBDemod)
 
 
 def fm_chain(fs: float, block: int, fc: float = 0.0, width: float = 200e3,

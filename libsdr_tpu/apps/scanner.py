@@ -16,8 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from libsdr_tpu import Pipeline, StreamSpec
-from libsdr_tpu.core import cplx, stream_blocks
-from libsdr_tpu.core.ragged import Ragged, compact
+from libsdr_tpu.core import stream_blocks
 from libsdr_tpu.decode import pocsag_decode_bits
 from libsdr_tpu.ops import ASKDetector, BitStream, FMDemod
 from libsdr_tpu.ops.channelizer import Channelizer

@@ -45,11 +45,39 @@ def main() -> None:
     rng = np.random.default_rng(99)
     x = (rng.normal(size=block) + 1j * rng.normal(size=block)
          ).astype(np.complex64)
+
+    # True host-sharded ingest: each process materializes ONLY its own
+    # time-range of the capture (the fetch callback sees global indices
+    # for this host's shards only — counted to prove it).
+    from jax.sharding import PartitionSpec as P
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.core.cplx import Complex
+    from libsdr_tpu.parallel.distributed import place_global_ingest
+
+    fetched = []
+
+    def place_input_sharded(x1d):
+        xb = cplx.as_block(x1d)
+
+        def mk(plane):
+            def fetch(idx):
+                fetched.append(idx)
+                return np.asarray(plane)[idx]
+            return place_global_ingest(plane.shape, mesh1d, P("d"), fetch)
+
+        return Complex(mk(xb.re), mk(xb.im))
+
     carry = init_carry()
     out = None
     for _ in range(2):  # two steps: exercises the carry hand-off too
-        carry, out = step(carry, place_input(x))
+        carry, out = step(carry, place_input_sharded(x))
     jax.block_until_ready(out)
+    # every fetched range must be one of THIS process's shards
+    per = block // (4 * nproc)
+    lo = pid * 4 * per
+    for (sl,) in fetched:
+        assert lo <= (sl.start or 0) and sl.stop <= lo + 4 * per, \
+            (pid, sl)
 
     # Dump this process's addressable shards (audio is (m, block//m) f32
     # sharded on channels).

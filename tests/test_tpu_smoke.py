@@ -215,3 +215,46 @@ def test_fast_precision_mode_on_chip():
         set_mxu_precision("high")
     snr = snr_db(y_hi[0], y_fast[0])
     assert snr > 70.0, snr
+
+
+def test_whole_band_scanner_decodes_on_chip():
+    """End-to-end wideband scanner on hardware: a 256-channel band with
+    POCSAG pages on three channels, through the fused PFB+FM kernel ->
+    ASK -> bit-sync PLL -> host FSMs; the pages decode on the right
+    channels and quiet channels stay quiet."""
+    from libsdr_tpu.apps.scanner import scan
+    from libsdr_tpu.decode import pocsag_encode_batch
+
+    m = 256
+    ch_rate = 24_000.0
+    fs = m * ch_rate
+    pages = {37: 1111, 100: 2222, 200: 3333}
+    spb = fs / 1200.0
+
+    def channel_sig(address):
+        bits = pocsag_encode_batch(address=address, function=1,
+                                   text="SCAN OK")
+        nsig = int(len(bits) * spb)
+        idx = np.minimum((np.arange(nsig) / spb).astype(np.int64),
+                         len(bits) - 1)
+        dev = np.where(bits[idx] > 0, -4500.0, 4500.0)
+        return 0.8 * np.exp(2j * np.pi * np.cumsum(dev) / fs)
+
+    sigs = {c: channel_sig(a) for c, a in pages.items()}
+    n = max(len(s) for s in sigs.values())
+    n += (-n) % (m * 64)
+    t = np.arange(n)
+    x = np.zeros(n, np.complex128)
+    for c, s in sigs.items():
+        x[:len(s)] += s * np.exp(2j * np.pi * (c / m) * t[:len(s)])
+    # Noise floor: in a NOISELESS synthetic band even the prototype
+    # filter's -58 dB sidelobe leakage demodulates perfectly on every
+    # channel (FM capture of a clean weak carrier); real bands have noise.
+    rng = np.random.default_rng(7)
+    x = x / 4 + 0.004 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    x = x.astype(np.complex64)
+
+    found = scan(x, fs, m, block=n)
+    assert set(found) == set(pages), sorted(found)
+    for c, addr in pages.items():
+        assert found[c][0].address == addr
