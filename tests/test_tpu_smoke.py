@@ -258,3 +258,41 @@ def test_whole_band_scanner_decodes_on_chip():
     assert set(found) == set(pages), sorted(found)
     for c, addr in pages.items():
         assert found[c][0].address == addr
+
+
+def test_long_stream_block_boundaries_on_chip():
+    """50 blocks of a pure FM tone through the fused chain: the carry
+    hand-off (FIR tail + discriminator prev + deemph state) must leave NO
+    glitches at block boundaries — boundary-sample deviations from the
+    smooth tone stay at the level of mid-block deviations."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import FMDemod, FMDeemph, IQBaseBand, siggen
+
+    fs = 960_000.0
+    n_ch, block, n_blocks = 64, 1 << 15, 50
+    n = block * n_blocks
+    audio = siggen.sine(fs, n + 4096, 441.0, amps=0.6)
+    iq = siggen.fm_modulate(fs, audio, deviation=75_000.0,
+                            carrier=120_000.0)[:n]
+    p = Pipeline([IQBaseBand(fc=120_000, width=200_000, order=64, decim=4,
+                             design="textbook"),
+                  FMDemod(), FMDeemph()])
+    p.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
+    step = p.compile()
+    carry = p.init_carry()
+    outs = []
+    for b in range(n_blocks):
+        blk = np.tile(iq[None, b * block:(b + 1) * block], (n_ch, 1))
+        carry, y = step(carry, cplx.as_block(blk))
+        outs.append(np.asarray(y)[0])
+    out = np.concatenate(outs)
+    # second-difference magnitude: spikes reveal boundary discontinuities
+    d2 = np.abs(np.diff(out, 2))
+    ob = block // 4
+    skip = 4 * ob                      # settle transients
+    idx = np.arange(skip, len(d2))
+    at_boundary = (idx % ob) < 3
+    b_max = d2[idx[at_boundary]].max()
+    interior_p999 = np.percentile(d2[idx[~at_boundary]], 99.9)
+    assert b_max < 5 * interior_p999 + 1e-6, (b_max, interior_p999)
