@@ -110,17 +110,12 @@ class AMBasebandFused(Processor):
             return ((new_tail,) if self._ab is None
                     else (new_tail, sd_state)), audio
 
-        head_len = offset + (n_lead - 1) * d + 1
-        xc_head = cplx.concatenate([tail, x[..., :head_len]], axis=-1)
-        y_lead = _conv1d(xc_head[..., offset:], self._g2, d)
-        audio_lead, sd_lead = self._epilogue(y_lead, sd_state)
-        n_main = (b - s0 - t) // d + 1
-
-        audio_main = None
         from libsdr_tpu.ops import fir as fir_mod
         on_wide_tpu = (fir_mod.USE_PALLAS_MXU and self._ab is not None
                        and x.re.ndim == 2 and x.re.shape[0] >= 64
                        and jax.default_backend() == "tpu")
+        # Exact-tiling kernel first: it consumes tail+block whole, so the
+        # lead segment below would be traced-then-dead on this path.
         if on_wide_tpu and offset == d - 1:
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
             if pfm.mxu_fir2_supported(t, d, x.re.shape[0], b,
@@ -134,6 +129,14 @@ class AMBasebandFused(Processor):
                 sd_state = exports.re[..., 0]   # AGC envelope state export
                 new_tail = x[..., b - (t - 1):]
                 return (new_tail, sd_state), audio
+
+        head_len = offset + (n_lead - 1) * d + 1
+        xc_head = cplx.concatenate([tail, x[..., :head_len]], axis=-1)
+        y_lead = _conv1d(xc_head[..., offset:], self._g2, d)
+        audio_lead, sd_lead = self._epilogue(y_lead, sd_state)
+        n_main = (b - s0 - t) // d + 1
+
+        audio_main = None
         if on_wide_tpu:
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
             if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b,
@@ -272,15 +275,6 @@ class FMBasebandFused(Processor):
             new_tail = xc[..., xc.shape[-1] - (t - 1):]
             return self._carry_out(new_tail, y[..., -1], dstate), audio
 
-        head_len = offset + (n_lead - 1) * d + 1
-        xc_head = cplx.concatenate([tail, x[..., :head_len]], axis=-1)
-        y_lead = _conv1d(xc_head[..., offset:], self._g2, d)
-        audio_lead = self._demod(y_lead, prev)
-        if self._dab is not None:
-            audio_lead, dlead = iir_first_order(audio_lead, da, db, dstate)
-        n_main = (b - s0 - t) // d + 1
-
-        audio_main = None
         from libsdr_tpu.ops import fir as fir_mod
         on_wide_tpu = (fir_mod.USE_PALLAS_MXU  # kill switch covers the
                        # fused kernels too (they subsume the Pallas FIR)
@@ -289,7 +283,8 @@ class FMBasebandFused(Processor):
         if on_wide_tpu and offset == d - 1:
             # Exact-tiling kernel: consumes tail+block, emits EXACTLY b/d
             # outputs — no lead/rest segments and no full-rate audio
-            # concat (which cost ~10 ms/iter at the bench config).
+            # concat (which cost ~10 ms/iter at the bench config).  Checked
+            # before the lead segment below, which this path never uses.
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
             if pfm.mxu_fir2_supported(t, d, x.re.shape[0], b,
                                       dtype=x.re.dtype):
@@ -303,6 +298,16 @@ class FMBasebandFused(Processor):
                 new_tail = x[..., b - (t - 1):]
                 return self._carry_out(new_tail, y_last[..., 0],
                                        dstate), audio
+
+        head_len = offset + (n_lead - 1) * d + 1
+        xc_head = cplx.concatenate([tail, x[..., :head_len]], axis=-1)
+        y_lead = _conv1d(xc_head[..., offset:], self._g2, d)
+        audio_lead = self._demod(y_lead, prev)
+        if self._dab is not None:
+            audio_lead, dlead = iir_first_order(audio_lead, da, db, dstate)
+        n_main = (b - s0 - t) // d + 1
+
+        audio_main = None
         if on_wide_tpu:
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
             if pfm.mxu_fir_supported(t, d, s0, x.re.shape[0], b,

@@ -619,7 +619,7 @@ def _deemph_mat(a: float, b: float) -> np.ndarray:
 def fir_fm_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
                lead_last: Complex, rot: complex, gain: float,
                deemph_ab=None, deemph_lead=None, mode: str = "fm",
-               interpret: bool = False) -> Tuple[jnp.ndarray, int]:
+               interpret: bool = False):
     """Fused decimating FIR + quadrature FM discriminator (+ optional
     first-order de-emphasis): returns (audio, nsp) where audio[j] = gain *
     angle(y[j] * conj(y[j-1]) * rot), optionally run through

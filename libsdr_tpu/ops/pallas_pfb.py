@@ -101,6 +101,11 @@ def _tt_for(m: int, f_total: int, p: int, itemsize: int,
     for tt in (512, 256, 128, 64, 32, 16, 8):
         if f_total % tt or f_total < tt or tt < p:
             continue
+        # bf16 HBM tiles are (16, 128): the main-DMA row offset (wi * tt)
+        # must stay 16-aligned (same constraint as ct_align in
+        # ops/pallas_fir_mxu.mxu_fir_supported).
+        if itemsize == 2 and tt % 16:
+            continue
         blocks = 2 * 2 * tt * m * itemsize          # double-buffered DMA
         win = 2 * (tt + p + 16) * m * itemsize      # assembled windows
         u = 2 * tt * m * 4                          # stage-A input values
