@@ -71,11 +71,22 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     one = synth_channel(fs, n, 1234, "CAPACITY BENCH")
-    x = np.tile(one, (n_ch, 1))
-    # decorrelate channels a little (noise + per-channel gain)
-    x = x * rng.uniform(0.5, 1.0, (n_ch, 1)).astype(np.float32)
-    x = (x + (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape))
-         .astype(np.complex64) * 0.02)
+    # Synthesize the bank ON DEVICE (tile + per-channel gain + noise):
+    # a host-side (n_ch, n) complex array is gigabytes at 1024 channels
+    # and the tunnel link is slow; the per-channel content is what matters.
+    import jax
+    import jax.numpy as jnp
+    from libsdr_tpu.core import cplx as _cplx
+
+    one_d = _cplx.as_block(one)
+    gains = jnp.asarray(rng.uniform(0.5, 1.0, (n_ch, 1)).astype(np.float32))
+
+    @jax.jit
+    def synth_block(sl_re, sl_im, key):
+        nz = 0.02 * jax.random.normal(key, (2, n_ch, sl_re.shape[-1]),
+                                      np.float32)
+        return _cplx.Complex(sl_re[None, :] * gains + nz[0],
+                             sl_im[None, :] * gains + nz[1])
 
     fe = Pipeline([
         IQBaseBand(fc=0.0, width=12.5e3, order=32, out_rate=24e3,
@@ -99,11 +110,13 @@ def main() -> None:
     step = jax.jit(step_fn)
     carry = fe.init_carry()
 
-    host_blocks = [x[:, i:i + block] for i in range(0, n, block)]
-    # Pre-place on device: separates compute capacity from this tunnel's
-    # unrepresentative host->device link (~0.7 GB/s; production PCIe is
-    # tens of GB/s).  Ingest-included time is reported separately.
-    dev_blocks = [cplx.as_block(b) for b in host_blocks]
+    # Pre-built device blocks: separates compute capacity from this
+    # tunnel's unrepresentative host->device link (~0.7 GB/s; production
+    # PCIe is tens of GB/s).
+    dev_blocks = [
+        synth_block(one_d.re[i:i + block], one_d.im[i:i + block],
+                    jax.random.PRNGKey(i))
+        for i in range(0, n, block)]
     jax.block_until_ready(dev_blocks[-1].re)
     # warmup / compile
     c, (d0, n0) = step(carry, dev_blocks[0])
