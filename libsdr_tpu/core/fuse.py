@@ -101,6 +101,17 @@ def fuse_stages(stages: List) -> List:
                                   prototype=st._proto, layout="channel"))
             i += 2
             continue
+        from libsdr_tpu.ops.demod import USBDemod
+        if (isinstance(st, IQBaseBand) and type(st) is IQBaseBand
+                and isinstance(nxt, USBDemod) and _on_tpu()):
+            # Full SSB fusion (exact per-output NCO phasor in-kernel).
+            from libsdr_tpu.ops.agc import AGC
+            from libsdr_tpu.ops.fm_fused import USBBasebandFused
+            nxt2 = stages[i + 2] if i + 2 < len(stages) else None
+            agc = nxt2 if isinstance(nxt2, AGC) and nxt2.enabled else None
+            out.append(USBBasebandFused(st, agc))
+            i += 3 if agc is not None else 2
+            continue
         if (isinstance(st, IQBaseBand) and type(st) is IQBaseBand
                 and isinstance(nxt, AMDemod) and _on_tpu()):
             # Full AM fusion: band-pass FIR + |y| envelope (+ AGC) in one

@@ -26,7 +26,7 @@ from libsdr_tpu.core.stream import StreamSpec
 from libsdr_tpu.ops import firdesign
 from libsdr_tpu.ops.baseband import IQBaseBand, fused_baseband_taps
 from libsdr_tpu.ops.demod import FMDemod
-from libsdr_tpu.ops.fir import _conv1d, _fir_main
+from libsdr_tpu.ops.fir import _conv1d, _fir_main, fir_overlap_save
 
 
 class AMBasebandFused(Processor):
@@ -181,6 +181,133 @@ class AMBasebandFused(Processor):
         new_tail = x[..., b - (t - 1):]
         return ((new_tail,) if self._ab is None
                 else (new_tail, sd_state)), audio
+
+
+class USBBasebandFused(Processor):
+    """One-op SSB receiver front end (built by core/fuse.py from
+    [IQBaseBand -> USBDemod (-> AGC)]): decimating band-pass FIR + exact
+    NCO rotation + (re+im)/2 + optional AGC in one pass (reference chain:
+    src/baseband.hh + demod.hh:156-160 + utils.hh:657-793; LSB = negative
+    filter band, examples/sdr_rec.cc:53-58).
+
+    Unlike AM/FM the SSB demod is not rotation-invariant, so the kernel
+    needs a per-OUTPUT phasor: e^(-i theta (n0 + n)) factors into a
+    per-frame scalar (host-exact f64 ramp x carried unit phasor, the same
+    scheme as FreqShift's exact mode) times a per-lane row constant."""
+
+    def __init__(self, bb: IQBaseBand, agc=None):
+        super().__init__()
+        self.bb = bb
+        self.agc = agc
+
+    def _bind(self, in_spec: StreamSpec) -> StreamSpec:
+        in_spec.require_complex("USBBasebandFused")
+        bb = self.bb
+        fs = in_spec.rate_hz
+        if bb.out_rate is not None:
+            bb.decim = max(1, int(fs / bb.out_rate))
+        in_spec.require_block_multiple("USBBasebandFused", bb.decim)
+        if bb.design == "ref":
+            k = firdesign.ref_complex_bandpass(bb.order, bb.ff, bb.width, fs)
+        else:
+            k = firdesign.complex_bandpass(bb.order, bb.ff, bb.width, fs)
+        g = fused_baseband_taps(k, bb.fc, fs, bb.decim)
+        t = len(g)
+        w = 2 * np.pi * bb.fc / fs
+        self._offset = bb.decim - 1
+        self._g2 = g * np.exp(-1j * w * (np.arange(t) - (t - 1)
+                                         + self._offset))
+        self._decim = bb.decim
+        self._t = t
+        d = bb.decim
+        n_out = in_spec.block_size // d
+        theta = w * d                     # per-output phase step
+        # exact-NCO constants (host f64, like ops/nco.py 'exact'):
+        self._ramp = cplx.constant(
+            np.exp(-1j * theta * np.arange(n_out)), jnp.float32)
+        self._block_step = cplx.constant(np.exp(-1j * theta * n_out))
+        f_total = n_out // 128
+        if f_total * 128 == n_out:
+            fr = np.exp(-1j * theta * 128.0 * np.arange(f_total))
+            self._frame_ramp = cplx.constant(fr, jnp.float32)
+            rrow = np.exp(-1j * theta * np.arange(128))
+            rr = np.zeros((16, 128), np.float32)
+            rr[0] = rrow.real
+            rr[8] = rrow.imag
+            self._rrow = jnp.asarray(rr)
+        else:
+            self._frame_ramp = None
+        out_rate = fs / d
+        if self.agc is not None:
+            import math
+            lam = math.exp(-1.0 / (self.agc.tau * out_rate))
+            self._ab = (lam, 1.0 - lam)
+            self._gain = self.agc.target / 4.0
+        else:
+            self._ab = None
+            self._gain = 1.0
+        return in_spec.with_(
+            dtype=jnp.float32, plane_dtype=None,
+            sample_rate=in_spec.sample_rate / d,
+            block_size=in_spec.block_size // d)
+
+    def init_carry(self):
+        ch = self.in_spec.channels
+        tail = cplx.zeros(ch + (self._t - 1,), self.in_spec.real_dtype)
+        phasor = cplx.full_like_phasor(())
+        if self._ab is None:
+            return (tail, phasor)
+        return (tail, phasor,
+                jnp.full(ch, self.agc.target, jnp.float32))
+
+    def _next_phasor(self, a0):
+        nxt = a0 * self._block_step
+        return nxt / nxt.abs()
+
+    def apply(self, carry, x):
+        from libsdr_tpu.ops.iir import iir_first_order
+
+        tail, a0 = carry[0], carry[1]
+        sd_state = carry[2] if self._ab is not None else None
+        d, t, offset = self._decim, self._t, self._offset
+        b = x.re.shape[-1]
+
+        def pack(new_tail, sd):
+            if self._ab is None:
+                return (new_tail, self._next_phasor(a0))
+            return (new_tail, self._next_phasor(a0), sd)
+
+        from libsdr_tpu.ops import fir as fir_mod
+        if (fir_mod.USE_PALLAS_MXU and self._ab is not None
+                and self._frame_ramp is not None
+                and x.re.ndim == 2 and x.re.shape[0] >= 64
+                and offset == d - 1
+                and jax.default_backend() == "tpu"):
+            from libsdr_tpu.ops import pallas_fir_mxu as pfm
+            if pfm.mxu_fir2_supported(t, d, x.re.shape[0], b,
+                                      dtype=x.re.dtype):
+                c = x.re.shape[0]
+                af = a0 * self._frame_ramp       # (F,) complex phasors
+                fph = jnp.zeros((af.re.shape[0], 8), jnp.float32)
+                fph = fph.at[:, 0].set(af.re).at[:, 1].set(af.im)
+                audio, exports = pfm.fir_fm_exact(
+                    x, self._g2, d, tail, cplx.zeros((c, 1), jnp.float32),
+                    1.0, self._gain, deemph_ab=self._ab,
+                    deemph_lead=sd_state[..., None], mode="usb",
+                    usb_phasors=(fph, self._rrow))
+                return pack(x[..., b - (t - 1):],
+                            exports.re[..., 0]), audio
+
+        # XLA path: overlap-save FIR, exact rotation, (re+im)/2, AGC.
+        y, new_tail = fir_overlap_save(self._g2, x, tail, stride=d,
+                                       offset=offset)
+        z = y * (a0 * self._ramp)
+        sig = (z.re + z.im) * 0.5
+        if self._ab is None:
+            return pack(new_tail, None), sig * self._gain
+        sdv, sd_last = iir_first_order(jnp.abs(sig), self._ab[0],
+                                       self._ab[1], sd_state)
+        return pack(new_tail, sd_last), self._gain * sig / sdv
 
 
 class FMBasebandFused(Processor):

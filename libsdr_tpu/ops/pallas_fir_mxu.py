@@ -728,9 +728,9 @@ def mxu_fir2_supported(taps_len: int, stride: int, channels: int,
 
 
 def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
-                dm_ref, dl_hbm, *refs, ct: int, ft: int, sd: int,
-                b_total: int, precision, rot_re: float, rot_im: float,
-                gain: float, deemph: bool, mode: str):
+                dm_ref, dl_hbm, fph_ref, rrow_ref, *refs, ct: int, ft: int,
+                sd: int, b_total: int, precision, rot_re: float,
+                rot_im: float, gain: float, deemph: bool, mode: str):
     if mode == "fir":
         (yr_ref, yi_ref, xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s,
          dp_s, sems) = refs
@@ -835,6 +835,27 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
             prev_r = yr[:, s - 1:s]
             prev_i = yi[:, s - 1:s]
             continue
+        if mode == "usb":
+            # SSB: rotate this frame's outputs by the exact NCO phasor
+            # A_f * r_j (per-frame scalar x per-lane row, see fir_fm_exact)
+            # and take (re+im)/2 (reference: src/demod.hh:156-160), with
+            # the AGC envelope IIR riding along like the AM mode.
+            a_r = fph_ref[pl.ds(wi * ft + f, 1), 0:1]
+            a_i = fph_ref[pl.ds(wi * ft + f, 1), 1:2]
+            rot_r = a_r * rrow_ref[0:1, :] - a_i * rrow_ref[8:9, :]
+            rot_i = a_r * rrow_ref[8:9, :] + a_i * rrow_ref[0:1, :]
+            sig = 0.5 * ((yr * rot_r - yi * rot_i)
+                         + (yr * rot_i + yi * rot_r))
+            if deemph:
+                sdv = dmm(jnp.abs(sig)) + dprev * dpow
+                dprev = sdv[:, s - 1:s]
+                au = jnp.float32(gain) * sig / sdv
+            else:
+                au = jnp.float32(gain) * sig
+            audio_ref[:, f * s:(f + 1) * s] = au
+            prev_r = yr[:, s - 1:s]
+            prev_i = yi[:, s - 1:s]
+            continue
         ypr = jnp.where(col == 0, prev_r, pltpu.roll(yr, 1, axis=1))
         ypi = jnp.where(col == 0, prev_i, pltpu.roll(yi, 1, axis=1))
         zr = yr * ypr + yi * ypi
@@ -859,7 +880,7 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
     # carry exports (constant-index out blocks — the last step's write per
     # channel tile is what flushes): y of the final output, except in AM
     # mode with AGC where the first slot carries the AGC envelope state.
-    if mode == "am" and deemph:
+    if mode in ("am", "usb") and deemph:
         ylr_ref[:] = dprev
         yli_ref[:] = prev_i
     else:
@@ -872,9 +893,10 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
                                              "mode", "precision",
                                              "interpret"))
 def _fir_fm2_call(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead,
-                  stride: int, ft: int, rot_re: float, rot_im: float,
-                  gain: float, deemph: bool = False, mode: str = "fm",
-                  precision: str = "x3", interpret: bool = False):
+                  fph, rrow, stride: int, ft: int, rot_re: float,
+                  rot_im: float, gain: float, deemph: bool = False,
+                  mode: str = "fm", precision: str = "x3",
+                  interpret: bool = False):
     c, b = xr.shape
     sd = _S * stride
     ct = min(c, _CT)
@@ -904,6 +926,9 @@ def _fir_fm2_call(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead,
             pl.BlockSpec((_S + 8, _S), lambda ci, wi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fph (F, 8), whole
+            pl.BlockSpec((16, _S), lambda ci, wi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=([pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
@@ -935,7 +960,7 @@ def _fir_fm2_call(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead,
             bytes_accessed=(xr.dtype.itemsize * 2 * c * b + 4 * c * n_out),
             transcendentals=c * n_out),
         interpret=interpret,
-    )(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead)
+    )(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead, fph, rrow)
 
 
 _MAT2_CACHE_NP: dict = {}
@@ -964,7 +989,8 @@ def _mats2_on_device(taps: np.ndarray, stride: int):
 def fir_fm_exact(x: Complex, taps: np.ndarray, stride: int,
                  tail: Complex, lead_last: Complex, rot: complex,
                  gain: float, deemph_ab=None, deemph_lead=None,
-                 mode: str = "fm", interpret: bool = False):
+                 mode: str = "fm", usb_phasors=None,
+                 interpret: bool = False):
     """Exact-tiling fused FIR + demod: consumes the WHOLE block plus the
     (C, T-1) carry ``tail`` and returns (audio (C, B/stride), y_last
     Complex (C, 1)) with NO garbage outputs — output j is the window
@@ -972,7 +998,13 @@ def fir_fm_exact(x: Complex, taps: np.ndarray, stride: int,
     offset = stride-1 convention of ops/fir.py).
 
     ``lead_last``: y[-1] of the previous block (seeds the discriminator);
-    ``deemph_ab``/``deemph_lead``: first-order state as in fir_fm_mxu."""
+    ``deemph_ab``/``deemph_lead``: first-order state as in fir_fm_mxu.
+
+    ``mode='usb'``: SSB demod (re+im)/2 after an exact per-output NCO
+    rotation; ``usb_phasors`` = (fph (F, 8) f32 with [cos, sin] of the
+    per-frame phasor in columns 0/1, rrow (16, 128) f32 with cos/sin of
+    the per-lane phasor in rows 0/8); ``deemph_ab`` then carries the AGC
+    IIR and the first export slot returns the AGC envelope state."""
     taps = np.asarray(taps)
     if not np.iscomplexobj(taps):
         taps = taps.astype(np.complex128)
@@ -993,10 +1025,16 @@ def fir_fm_exact(x: Complex, taps: np.ndarray, stride: int,
     zpad = jnp.zeros((c, pad), x.re.dtype)
     tpr = jnp.concatenate([zpad, tail.re.astype(x.re.dtype)], axis=-1)
     tpi = jnp.concatenate([zpad, tail.im.astype(x.im.dtype)], axis=-1)
+    if usb_phasors is not None:
+        fph, rrow = usb_phasors
+    else:
+        f_total = (b // stride) // _S
+        fph = jnp.zeros((f_total, 8), jnp.float32)
+        rrow = jnp.zeros((16, _S), jnp.float32)
     audio, ylr, yli = _fir_fm2_call(
         x.re, x.im, _mats2_on_device(taps, stride), tpr, tpi,
         lead_last.re.astype(jnp.float32), lead_last.im.astype(jnp.float32),
-        dmat, dlead.astype(jnp.float32), stride, ft,
+        dmat, dlead.astype(jnp.float32), fph, rrow, stride, ft,
         float(rot.real), float(rot.imag), float(gain),
         deemph=use_deemph, mode=mode, precision=_PRECISION,
         interpret=interpret)
@@ -1022,8 +1060,11 @@ def fir_exact(x: Complex, taps: np.ndarray, stride: int, tail: Complex,
     tpi = jnp.concatenate([zpad, tail.im.astype(x.im.dtype)], axis=-1)
     zc = jnp.zeros((c, 1), jnp.float32)
     dmat = jnp.zeros((_S + 8, _S), jnp.float32)
+    f_total = (b // stride) // _S
+    fph = jnp.zeros((f_total, 8), jnp.float32)
+    rrow = jnp.zeros((16, _S), jnp.float32)
     yr, yi = _fir_fm2_call(
         x.re, x.im, _mats2_on_device(taps, stride), tpr, tpi, zc, zc,
-        dmat, zc, stride, ft, 1.0, 0.0, 1.0, deemph=False, mode="fir",
-        precision=_PRECISION, interpret=interpret)
+        dmat, zc, fph, rrow, stride, ft, 1.0, 0.0, 1.0, deemph=False,
+        mode="fir", precision=_PRECISION, interpret=interpret)
     return Complex(yr, yi)
