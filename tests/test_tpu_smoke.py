@@ -296,3 +296,34 @@ def test_long_stream_block_boundaries_on_chip():
     b_max = d2[idx[at_boundary]].max()
     interior_p999 = np.percentile(d2[idx[~at_boundary]], 99.9)
     assert b_max < 5 * interior_p999 + 1e-6, (b_max, interior_p999)
+
+
+def test_usb_fused_kernel_on_chip():
+    """Fused SSB kernel (exact in-kernel NCO phasors) vs the unfused
+    pipeline on hardware: >= 60 dB (measured ~113 dB)."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import AGC, IQBaseBand, USBDemod
+    from tests.conftest import snr_db
+
+    fs = 96_000.0
+    n_ch, block = 64, 1 << 16
+    t = np.arange(block) / fs
+    iq = (0.4 * np.sin(2 * np.pi * 700 * t)
+          + 0.3 * np.sin(2 * np.pi * 1500 * t)) \
+        * np.exp(2j * np.pi * 11000.0 * t)
+    xb = cplx.as_block(np.tile(iq[None, :].astype(np.complex64),
+                               (n_ch, 1)))
+
+    def run(fused):
+        p = Pipeline([IQBaseBand(fc=11000.0, ff=12500.0, width=3000.0,
+                                 order=64, decim=8, design="textbook"),
+                      USBDemod(), AGC(tau=0.05)], optimize=fused)
+        p.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
+        if fused:
+            from libsdr_tpu.ops.fm_fused import USBBasebandFused
+            assert any(isinstance(s, USBBasebandFused) for s in p.stages)
+        _, y = p.apply(p.init_carry(), xb)
+        return np.asarray(y)
+
+    snr = snr_db(run(False)[0], run(True)[0])
+    assert snr > 60.0, snr
