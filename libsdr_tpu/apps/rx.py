@@ -30,12 +30,21 @@ def main(argv=None):
     args = p.parse_args(argv)
     sdrlog.set_level(args.log_level)
 
+    switches = []
+    for s in args.switch:
+        secs, sep, mode = s.partition(":")
+        try:
+            t_at = float(secs)
+        except ValueError:
+            sep = ""
+        if not sep or not mode:
+            raise SystemExit(f"--switch {s!r}: expected SECONDS:MODE")
+        switches.append((t_at, mode))
+    switches.sort()
+
     iq, fs = load_source(args)
     rx = rx_chain(args.mode, fs, args.block_size, fc=args.frequency)
     print(rx.describe())
-
-    switches = sorted(
-        (float(s.split(":")[0]), s.split(":")[1]) for s in args.switch)
     if not switches:
         _, audio = run_pipeline(rx, stream_blocks(iq, args.block_size))
         audio = np.asarray(audio)

@@ -38,6 +38,7 @@ class Pipeline(Processor):
         self.name = name
         self.optimize = optimize
         self._step = None
+        self._step_donate = None
 
     # -- spec propagation (the "Config propagation" pass) ---------------------
 
@@ -76,7 +77,8 @@ class Pipeline(Processor):
         are small, and the axon TPU backend mishandles donated buffers
         (InvalidArgument on later reads).
         """
-        if self._step is None:
+        donate_carry = bool(donate_carry)
+        if self._step is None or self._step_donate != donate_carry:
             donate = (0,) if donate_carry else ()
             # A fresh lambda per compile: jax.jit keys its trace cache on
             # the wrapped callable, and bound methods of the same object
@@ -84,6 +86,7 @@ class Pipeline(Processor):
             # otherwise hit the stale trace with the OLD constants baked in.
             self._step = jax.jit(lambda carry, x: self.apply(carry, x),
                                  donate_argnums=donate)
+            self._step_donate = donate_carry
         return self._step
 
     def switch_stages(self, new_stages: Sequence[Processor], old_carry):

@@ -38,9 +38,11 @@ class Ragged:
         return f"Ragged(capacity={self.data.shape}, dtype={self.data.dtype})"
 
 
-def compact(r) -> np.ndarray:
+def compact(r):
     """Host-side: extract the valid items of a (possibly multi-block
-    concatenated) ragged stream as a dense 1-D (or per-channel list) array."""
+    concatenated) ragged stream.  1-D streams return a dense np.ndarray;
+    channel banks return a list of per-channel vectors (flattened over any
+    leading channel dims)."""
     data = np.asarray(r.data)
     valid = np.asarray(r.valid).astype(bool)
     if data.ndim == 1:

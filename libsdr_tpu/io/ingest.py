@@ -21,11 +21,19 @@ def stream_raw_iq(path: str, block_size: int, dtype=np.uint8,
 
     The final partial block is zero-padded.
     """
-    itemsize = np.dtype(dtype).itemsize
+    dt = np.dtype(dtype)
+    if dt == np.uint8:
+        convert = u8_iq_to_planar
+    elif dt == np.int16:
+        convert = s16_iq_to_planar
+    else:
+        raise ValueError(
+            f"stream_raw_iq: unsupported sample dtype {dt} "
+            "(uint8 and int16 captures only)")
+    itemsize = dt.itemsize
     bytes_per_block = block_size * 2 * itemsize
     ring = RingBuffer(max(ring_bytes, 4 * bytes_per_block))
     pump = FilePump(path, ring)
-    convert = u8_iq_to_planar if np.dtype(dtype) == np.uint8 else s16_iq_to_planar
     try:
         while True:
             raw = ring.take(bytes_per_block)

@@ -65,6 +65,12 @@ class WidebandFM(Processor):
         in_spec.require_complex("WidebandFM")
         m, p = self.m, self.p
         in_spec.require_block_multiple("WidebandFM", m)
+        # The carry is the last P raw frames of the block, so each block
+        # must contain at least P frames (apply slices x[(F-P)*M:]).
+        if in_spec.block_size // m < p:
+            raise ConfigError(
+                f"WidebandFM: block holds {in_spec.block_size // m} frames, "
+                f"needs >= taps_per_branch = {p} (block_size >= M*P)")
         proto = (np.asarray(self._proto) if self._proto is not None
                  else prototype_lowpass(m, p))
         if len(proto) != m * p:

@@ -41,6 +41,9 @@ def global_mesh(axis_names: Sequence[str] = ("ch", "time"),
     devs = np.asarray(jax.devices())
     n = devs.size
     t = max(1, time_parallel)
+    if t > n:
+        raise ValueError(
+            f"global_mesh: time_parallel={t} exceeds device count {n}")
     return Mesh(devs[: (n // t) * t].reshape(n // t, t), tuple(axis_names))
 
 
@@ -94,6 +97,8 @@ def save_sharded_checkpoint(path: str, carry, position: int) -> None:
     core/checkpoint.save_checkpoint.  Write to a per-process path."""
     import json
 
+    from libsdr_tpu.core.checkpoint import _storable
+
     leaves, treedef = jax.tree_util.tree_flatten(carry)
     arrays = {}
     for i, leaf in enumerate(leaves):
@@ -103,9 +108,9 @@ def save_sharded_checkpoint(path: str, carry, position: int) -> None:
                 k = _shard_key(s.index)
                 if k not in seen:    # replicated: one copy is enough
                     seen.add(k)
-                    arrays[f"leaf{i}|{k}"] = np.asarray(s.data)
+                    arrays[f"leaf{i}|{k}"] = _storable(s.data)
         else:
-            arrays[f"leaf{i}|"] = np.asarray(leaf)
+            arrays[f"leaf{i}|"] = _storable(leaf)
     header = json.dumps({"position": int(position), "n_leaves": len(leaves)})
     np.savez(path, __header__=np.frombuffer(header.encode(), np.uint8),
              **arrays)
@@ -132,7 +137,9 @@ def load_sharded_checkpoint(path: str, carry_like):
             out.append(jax.make_array_from_callback(
                 like.shape, like.sharding, cb))
         else:
-            out.append(saved[f"leaf{i}|"])
+            # Cast back to the live carry's dtype (bf16 & friends were
+            # widened to f32 by _storable at save time).
+            out.append(saved[f"leaf{i}|"].astype(np.asarray(like).dtype))
     return (jax.tree_util.tree_unflatten(treedef, out),
             header["position"])
 
@@ -173,17 +180,14 @@ def run_supervised(make_cmd, num_processes: int, max_restarts: int = 2,
                                   **(popen_kwargs or {}))
                  for i in range(num_processes)]
         t0 = time.monotonic()
-        failed = False
         try:
             while True:
                 codes = [p.poll() for p in procs]
                 if all(c == 0 for c in codes):
                     return restarts
                 if any(c not in (None, 0) for c in codes):
-                    failed = True    # lost host detected
-                    break
+                    break    # lost host detected
                 if time.monotonic() - t0 > timeout_s:
-                    failed = True
                     break
                 time.sleep(poll_s)
         finally:
@@ -192,8 +196,6 @@ def run_supervised(make_cmd, num_processes: int, max_restarts: int = 2,
                     p.kill()
             for p in procs:
                 p.wait()
-        if not failed:
-            return restarts
         restarts += 1
         if restarts > max_restarts:
             raise RuntimeError(
@@ -207,5 +209,9 @@ def process_local_batch(global_channels: int) -> slice:
     the reference's single RTL ingest thread)."""
     p = jax.process_index()
     n = jax.process_count()
+    if global_channels % n:
+        raise ValueError(
+            f"process_local_batch: {global_channels} channels do not divide "
+            f"over {n} processes (the remainder would never be ingested)")
     per = global_channels // n
     return slice(p * per, (p + 1) * per)

@@ -63,6 +63,10 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
         raise ValueError("block must divide by M * n_devices")
     if m % n:
         raise ValueError("channels must divide by n_devices")
+    if block // (m * n) < p:
+        raise ValueError(
+            "each device's segment must hold >= taps_per_branch frames "
+            f"(block // (M*n) = {block // (m * n)} < P = {p})")
     proto = prototype_lowpass(m, p)
     taps = jnp.asarray(fold_commutator(proto, m, p))
 
@@ -167,6 +171,10 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
     m, p = n_channels, taps_per_branch
     if block % (m * n) or m % n:
         raise ValueError("need block % (M*n) == 0 and M % n == 0")
+    if block // (m * n) < p:
+        raise ValueError(
+            "each device's segment must hold >= taps_per_branch frames "
+            f"(block // (M*n) = {block // (m * n)} < P = {p})")
     proto = prototype_lowpass(m, p)
     taps = jnp.asarray(fold_commutator(proto, m, p))
     t_full = block // m

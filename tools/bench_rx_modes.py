@@ -113,6 +113,25 @@ def main() -> None:
     t = bench(ax.compile(), ax.init_carry(), x2)
     out["ax25_chain_msps"] = round(n_ch * blk2 / t / 1e6, 1)
 
+    # wide bank: same total samples/step as above but 4x the channels on
+    # 1/4 the block — the bit-sync PLL's sequential scan runs per TIME
+    # step across all channel lanes at once (VPU), so the wider/shorter
+    # layout shortens the scan 4x at equal work.
+    n_wide = 4 * n_ch
+    blk_w = blk2 // 4
+    xw = cplx.Complex(jax.random.normal(key, (n_wide, blk_w), np.float32),
+                      jax.random.normal(jax.random.PRNGKey(3),
+                                        (n_wide, blk_w), np.float32))
+    ax2 = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                               out_rate=48e3, design="textbook"),
+                    FMDemod(),
+                    FSKDetector(1200.0, 1200.0, 2200.0),
+                    BitStream(1200.0, mode="transition")])
+    ax2.bind(StreamSpec(np.complex64, fs2, blk_w, channels=(n_wide,)))
+    t = bench(ax2.compile(), ax2.init_carry(), xw)
+    out["ax25_wide_channels"] = n_wide
+    out["ax25_wide_msps"] = round(n_wide * blk_w / t / 1e6, 1)
+
     out["metric"] = "per-mode receiver bank Msamples/s/chip (apps/rx.py)"
     print(json.dumps(out))
 
