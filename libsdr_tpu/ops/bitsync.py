@@ -77,6 +77,40 @@ class BitStream(Processor):
         mode_transition = self.mode == TRANSITION
         x_t = x if self.time_major else jnp.moveaxis(x, -1, 0)  # (T, ch..)
 
+        t_steps = x_t.shape[0]
+        ch_shape = x_t.shape[1:]
+        m_flat = int(np.prod(ch_shape)) if ch_shape else 1
+        from libsdr_tpu.ops.pallas_bitsync import bitsync_pallas_supported
+        if (jax.default_backend() == "tpu"
+                and bitsync_pallas_supported(t_steps, m_flat, L)):
+            # Fused majority+PLL Pallas kernel: same recurrence as below,
+            # bit-exact, ~5x faster on wide channel banks (VMEM sign ring +
+            # register-resident PLL state instead of block cumsums and
+            # per-step XLA slicing; see ops/pallas_bitsync.py).
+            from libsdr_tpu.ops.pallas_bitsync import pll_pallas
+            out, sg2, ss2, phase, omega, last_bits = pll_pallas(
+                x_t.reshape(t_steps, m_flat),
+                jnp.moveaxis(carry["signs"], -1, 0).reshape(L - 1, m_flat),
+                carry["sym_sum"].reshape(m_flat),
+                carry["phase"].reshape(m_flat),
+                carry["omega"].reshape(m_flat),
+                carry["last_bits"].reshape(m_flat),
+                omega_min=self._omega_min, omega_max=self._omega_max,
+                gain=self._pll_gain, transition=mode_transition)
+            bits = (out & 1).astype(jnp.uint8).reshape(x_t.shape)
+            valid = ((out & 2) != 0).reshape(x_t.shape)
+            new_carry = dict(
+                signs=jnp.moveaxis(
+                    sg2.reshape((L - 1,) + ch_shape), 0, -1),
+                sym_sum=ss2.reshape(ch_shape),
+                phase=phase.reshape(ch_shape),
+                omega=omega.reshape(ch_shape),
+                last_bits=last_bits.reshape(ch_shape))
+            if self.time_major:
+                return new_carry, Ragged(bits, valid)
+            return new_carry, Ragged(jnp.moveaxis(bits, 0, -1),
+                                     jnp.moveaxis(valid, 0, -1))
+
         # ---- majority vote, vectorized (src/fsk.cc:163-168): the ring of
         # the last L signs reduces to a length-L moving sum — exact in int32
         # via the cumsum difference; the zero-initialized ring is the zero
@@ -106,20 +140,23 @@ class BitStream(Processor):
                 bit = (new_last_bits ^ (new_last_bits >> 1) ^ 1) & 1
             else:
                 bit = new_last_bits & 1
-            # -- PLL nudge on symbol transition (src/fsk.cc:189-198)
-            delta = jnp.where(phase < 0.5,
-                              self._pll_gain * (0.5 - phase),
-                              -self._pll_gain * (phase - 0.5))
-            omega = jnp.where(crossed, omega + delta, omega)
+            # -- PLL nudge on symbol transition (src/fsk.cc:189-198);
+            # g*(0.5-phase) == -g*(phase-0.5) exactly in IEEE, so one
+            # expression covers both halves of the reference's branch.
+            omega = jnp.where(crossed,
+                              omega + self._pll_gain * (0.5 - phase),
+                              omega)
             omega = jnp.clip(omega, self._omega_min, self._omega_max)
             return (phase, omega, new_last_bits), (bit.astype(jnp.uint8),
                                                    emit)
 
         state = (carry["phase"], carry["omega"], carry["last_bits"])
-        # unroll cuts the sequential-loop bookkeeping (~3.4x measured at 4;
-        # the slimmed body makes higher unroll profitable).
+        # unroll cuts the sequential-loop bookkeeping (measured 33 ms
+        # at 8 -> 23 ms at 16 on 65536x1024; the Pallas branch above
+        # takes over where shapes allow).
         state, (bits, valid) = jax.lax.scan(step, state,
-                                            (bit_now_t, crossed_t), unroll=8)
+                                            (bit_now_t, crossed_t),
+                                            unroll=16)
         phase, omega, last_bits = state
         new_carry = dict(
             signs=jnp.moveaxis(signs_c[signs_c.shape[0] - (L - 1):], 0, -1),

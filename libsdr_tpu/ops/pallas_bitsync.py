@@ -1,0 +1,239 @@
+"""Pallas TPU kernel for the bit-clock recovery chain (majority vote +
+PLL) of ops/bitsync.py (reference: src/fsk.cc:157-202).
+
+The PLL is sequential in time, so as a ``lax.scan`` its cost is per-step
+loop bookkeeping (~0.5 us/step however slim the body), and the vectorized
+majority-vote precompute materializes ~2.5 GB of cumsum intermediates per
+64M-sample 1024-channel scanner block — together ~21 ms.  This kernel
+runs the WHOLE chain in one pass:
+
+- the M channel lanes are viewed as (SUB, 128) register tiles
+  (SUB = M/128), so every per-step op runs at full VPU utilization;
+- the majority vote over the last L symbols is a running windowed sum
+  with a circular (L-1)-row sign ring in VMEM — the direct analog of the
+  reference's ring (src/fsk.cc:163-168), here one (SUB, 128) load + store
+  per step instead of a block-level cumsum;
+- input is the raw uint8 symbol stream (64 MB/block), output packs
+  bit/valid in one int8 (bit 0 = bit, bit 1 = valid; 64 MB/block) — an
+  8x HBM-traffic cut vs the int32 scan arrays; the caller's unpack fuses
+  into downstream XLA ops;
+- input/output chunks move via manual double-buffered DMA (the axon auto
+  block-pipeline is ~4x slower on long streams, see pallas_fir_mxu.py),
+  with whole-buffer DMA destinations (partial destinations crash this
+  backend's worker);
+- PLL state lives in the fori_loop carry (vector registers), persisting
+  across grid chunks in the constant-index VMEM state output blocks; the
+  loop body unrolls _UNROLL time steps so scalar bookkeeping amortizes.
+
+The arithmetic is IDENTICAL (bit-exact, including float op order) to the
+scan path in ops/bitsync.py: windowed sign sum + zero-crossing detect
+(src/fsk.cc:163-168), phase accumulate + wrap-sample (src/fsk.cc:170-187)
+and the bounded omega nudge on symbol transitions (src/fsk.cc:189-198).
+``g*(0.5-phase) == -g*(phase-0.5)`` exactly in IEEE, so one fma covers
+both halves of the reference's nudge branch.
+
+Measured (v5e, 65536 x 1024 incl. majority): 21.7 ms scan path -> ~4 ms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_MAX_TT = 2048         # time steps per grid chunk (VMEM-bound)
+_UNROLL = 8            # time steps per fori_loop iteration
+_MAX_RING = 512        # max majority window L (VMEM ring rows)
+
+
+def _tt_for(t: int, sub: int) -> int:
+    """Largest _UNROLL-multiple divisor of t <= _MAX_TT (scaled down for
+    wide banks so a chunk stays ~2 MB); 0 if none suitable."""
+    cap = max(_UNROLL, min(_MAX_TT, _MAX_TT * 8 // sub))
+    for tt in range(min(cap, t) // _UNROLL * _UNROLL, _UNROLL - 1, -_UNROLL):
+        if t % tt == 0:
+            return tt
+    return 0
+
+
+def bitsync_pallas_supported(t: int, m: int, corr_len: int) -> bool:
+    """Shape gate: M lanes must fill whole 128-lane rows and the majority
+    window must fit the VMEM ring (callers fall back to the lax.scan
+    path).  Sub-(8,128)-tile banks (M = 128..896) run at partial sublane
+    utilization but still beat the scan ~2x (measured M=128: 7.7 vs
+    14.8 ms on 65536 steps)."""
+    return (m >= _LANES and m % _LANES == 0 and t >= _UNROLL
+            and 2 <= corr_len <= _MAX_RING
+            and _tt_for(t, m // _LANES) > 0)
+
+
+def _kernel(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
+            out_hbm, sg_out, ss_out, ph_out, om_out, lb_out,
+            sym_s, out_s, ring, rsum, sin, sout, *,
+            tt: int, sub: int, ell: int, omega_min: float,
+            omega_max: float, gain: float, transition: bool):
+    ci = pl.program_id(0)
+    n_ci = pl.num_programs(0)
+    nring = ell - 1            # ring rows (majority window minus newest)
+
+    def start_in(slot, ci_):
+        pltpu.make_async_copy(
+            sym_hbm.at[pl.ds(pl.multiple_of(ci_ * (tt * sub), 8), tt * sub), :],
+            sym_s.at[slot], sin.at[slot]).start()
+
+    slot = ci % 2
+
+    @pl.when(ci == 0)
+    def _():
+        start_in(0, ci)
+        # Import carry state.  The sign ring enters time-ordered
+        # (oldest first) and starts at ring position 0; rsum caches the
+        # running sum of the ring's L-1 signs.
+        ring[...] = sg_in[...]
+        acc = sg_in[0:sub, :]
+        for k in range(1, nring):
+            acc = acc + sg_in[k * sub:(k + 1) * sub, :]
+        rsum[...] = acc
+        ss_out[...] = ss_in[...]
+        ph_out[...] = ph_in[...]
+        om_out[...] = om_in[...]
+        lb_out[...] = lb_in[...]
+
+    @pl.when(ci + 1 < n_ci)
+    def _():
+        start_in(1 - slot, ci + 1)
+
+    pltpu.make_async_copy(sym_s.at[slot], sym_s.at[slot], sin.at[slot]).wait()
+    # The out-DMA launched two grid steps ago reused this slot's buffer.
+    @pl.when(ci >= 2)
+    def _():
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+    def body(j, st):
+        phase, omega, lb, last_sum, rs, rpos = st
+        r = pl.multiple_of(j * (_UNROLL * sub), 8)
+        symu = sym_s[slot, pl.ds(r, _UNROLL * sub), :].astype(jnp.int32)
+        outs = []
+        for u in range(_UNROLL):
+            sym = symu[u * sub:(u + 1) * sub, :]
+            # -- majority vote: running windowed sign sum with a circular
+            # ring of the previous L-1 signs (src/fsk.cc:163-168)
+            sign = jnp.where(sym > 0, 1, -1)
+            s_now = rs + sign
+            bn = (s_now > 0).astype(jnp.int32)
+            crossed = ((last_sum < 0) & (s_now >= 0)) | \
+                      ((last_sum >= 0) & (s_now < 0))
+            rr = pl.multiple_of(rpos * sub, sub)
+            oldest = ring[pl.ds(rr, sub), :]
+            ring[pl.ds(rr, sub), :] = sign
+            rs = s_now - oldest
+            last_sum = s_now
+            rpos = jnp.where(rpos + 1 >= nring, 0, rpos + 1)
+            # -- phase advance & bit sampling (src/fsk.cc:170-187)
+            phase = phase + omega
+            emit = phase >= 1.0
+            phase = jnp.where(emit, phase - 1.0, phase)
+            lb = jnp.where(emit, ((lb << 1) | bn) & 0xFFFF, lb)
+            if transition:
+                bit = (lb ^ (lb >> 1) ^ 1) & 1
+            else:
+                bit = lb & 1
+            # -- bounded omega nudge on symbol transition
+            # (src/fsk.cc:189-198)
+            omega = jnp.where(crossed, omega + gain * (0.5 - phase), omega)
+            omega = jnp.clip(omega, omega_min, omega_max)
+            outs.append(bit | (emit.astype(jnp.int32) << 1))
+        packed = jnp.concatenate(outs, axis=0).astype(jnp.int8)
+        out_s[slot, pl.ds(r, _UNROLL * sub), :] = packed
+        return phase, omega, lb, last_sum, rs, rpos
+
+    st = (ph_out[...], om_out[...], lb_out[...], ss_out[...], rsum[...],
+          (ci * tt) % nring)
+    st = jax.lax.fori_loop(0, tt // _UNROLL, body, st)
+    ph_out[...], om_out[...], lb_out[...], ss_out[...], rsum[...] = st[:5]
+
+    pltpu.make_async_copy(out_s.at[slot], out_hbm.at[ci],
+                          sout.at[slot]).start()
+
+    @pl.when(ci == n_ci - 1)
+    def _():
+        # Export the ring time-ordered (oldest first): rotate by the final
+        # ring position.  nring static copies of one (SUB, 128) row each.
+        rpos_f = (n_ci * tt) % nring
+        for k in range(nring):
+            src = rpos_f + k
+            src = jnp.where(src >= nring, src - nring, src)
+            sg_out[k * sub:(k + 1) * sub, :] = \
+                ring[pl.ds(pl.multiple_of(src * sub, sub), sub), :]
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+        @pl.when(n_ci > 1)
+        def _():
+            pltpu.make_async_copy(out_s.at[1 - slot], out_s.at[1 - slot],
+                                  sout.at[1 - slot]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("omega_min", "omega_max",
+                                             "gain", "transition",
+                                             "interpret"))
+def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
+               omega_min: float, omega_max: float, gain: float,
+               transition: bool, interpret: bool = False):
+    """Run majority vote + PLL over ``sym`` (T, M) uint8 symbols.
+
+    Args (all per-channel state flattened to M lanes):
+      signs: (L-1, M) int32 — previous window signs, oldest first.
+      sym_sum: (M,) int32 — previous windowed sum (crossing seed).
+      phase/omega: (M,) float32; last_bits: (M,) int32.
+
+    Returns (packed (T, M) int8 with bit 0 = sampled bit / bit 1 = valid,
+    signs', sym_sum', phase', omega', last_bits').  Bit-exact vs the
+    ops/bitsync.py scan path.  Caller guarantees
+    ``bitsync_pallas_supported(T, M, L)``.
+    """
+    t, m = sym.shape
+    nring = signs.shape[0]
+    sub = m // _LANES
+    tt = _tt_for(t, sub)
+    n_chunks = t // tt
+    st_f = jax.ShapeDtypeStruct((sub, _LANES), jnp.float32)
+    st_i = jax.ShapeDtypeStruct((sub, _LANES), jnp.int32)
+    rep = pl.BlockSpec((sub, _LANES), lambda c: (0, 0),
+                       memory_space=pltpu.VMEM)
+    ring_spec = pl.BlockSpec((nring * sub, _LANES), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out, sg2, ss2, ph2, om2, lb2 = pl.pallas_call(
+        functools.partial(_kernel, tt=tt, sub=sub, ell=nring + 1,
+                          omega_min=omega_min, omega_max=omega_max,
+                          gain=gain, transition=transition),
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  ring_spec, rep, rep, rep, rep],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   ring_spec, rep, rep, rep, rep],
+        out_shape=[jax.ShapeDtypeStruct((n_chunks, tt * sub, _LANES),
+                                        jnp.int8),
+                   jax.ShapeDtypeStruct((nring * sub, _LANES), jnp.int32),
+                   st_i, st_f, st_f, st_i],
+        scratch_shapes=[pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
+                        pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
+                        pltpu.VMEM((nring * sub, _LANES), jnp.int32),
+                        pltpu.VMEM((sub, _LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * t * m, transcendentals=0,
+            bytes_accessed=2 * t * m),
+        interpret=interpret,
+    )(sym.reshape(t * sub, _LANES), signs.reshape(nring * sub, _LANES),
+      sym_sum.reshape(sub, _LANES), phase.reshape(sub, _LANES),
+      omega.reshape(sub, _LANES), last_bits.reshape(sub, _LANES))
+    return (out.reshape(t, m), sg2.reshape(nring, m), ss2.reshape(m),
+            ph2.reshape(m), om2.reshape(m), lb2.reshape(m))

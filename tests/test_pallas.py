@@ -409,3 +409,43 @@ def test_pallas_exact_tiling_shapes(rng, T, D):
                         for c in range(C)])
         err = np.abs(y[:, j] - orc).max() / (np.abs(orc).max() + 1e-30)
         assert err < 2e-4, (T, D, j, err)
+
+
+def test_pallas_bitsync_kernel_matches_scan(rng):
+    """Fused majority+PLL kernel (interpret mode) is bit-exact vs the
+    lax.scan path of ops/bitsync.py across two chained blocks, both modes
+    (reference recurrence: src/fsk.cc:157-202)."""
+    import jax.numpy as jnp
+
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops.bitsync import BitStream
+    from libsdr_tpu.ops.pallas_bitsync import (bitsync_pallas_supported,
+                                               pll_pallas)
+
+    T, M, L = 512, 1024, 20
+    assert bitsync_pallas_supported(T, M, L)
+    sym = rng.integers(0, 2, size=(T, M)).astype(np.uint8)
+    sym2 = rng.integers(0, 2, size=(T, M)).astype(np.uint8)
+    for mode in ("normal", "transition"):
+        bs = BitStream(1200.0, mode=mode, time_major=True)
+        bs.bind(StreamSpec(np.uint8, 1200.0 * L, T, channels=(M,)))
+        assert bs.corr_len == L
+        c = bs.init_carry()
+        ck = c
+        for blk in (sym, sym2):
+            c, r = bs.apply(c, jnp.asarray(blk))      # scan (CPU backend)
+            out, sg, ss, ph, om, lb = pll_pallas(
+                jnp.asarray(blk),
+                jnp.moveaxis(ck["signs"], -1, 0).reshape(L - 1, M),
+                ck["sym_sum"], ck["phase"], ck["omega"], ck["last_bits"],
+                omega_min=bs._omega_min, omega_max=bs._omega_max,
+                gain=bs._pll_gain, transition=(mode == "transition"),
+                interpret=True)
+            ck = dict(signs=jnp.moveaxis(sg, 0, -1), sym_sum=ss,
+                      phase=ph, omega=om, last_bits=lb)
+            assert np.array_equal(np.asarray(r.data),
+                                  np.asarray((out & 1).astype(jnp.uint8)))
+            assert np.array_equal(np.asarray(r.valid),
+                                  np.asarray((out & 2) != 0))
+        for k in c:
+            assert np.array_equal(np.asarray(c[k]), np.asarray(ck[k])), k

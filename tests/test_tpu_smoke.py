@@ -327,3 +327,38 @@ def test_usb_fused_kernel_on_chip():
 
     snr = snr_db(run(False)[0], run(True)[0])
     assert snr > 60.0, snr
+
+
+def test_bitsync_pallas_vs_scan_on_chip():
+    """The fused majority+PLL bit-sync kernel (ops/pallas_bitsync.py) is
+    bit-exact vs the lax.scan fallback on the real chip, carries chained
+    across two blocks (reference recurrence: src/fsk.cc:157-202)."""
+    import libsdr_tpu.ops.pallas_bitsync as pb
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops.bitsync import BitStream
+
+    T, M = 4096, 1024
+    spec = StreamSpec(np.uint8, 60000.0, T, channels=(M,))
+    rng = np.random.default_rng(7)
+    sym = jnp.asarray(rng.integers(0, 2, size=(T, M)).astype(np.uint8))
+    sym2 = jnp.asarray(rng.integers(0, 2, size=(T, M)).astype(np.uint8))
+
+    def run(use_pallas, mode):
+        orig = pb.bitsync_pallas_supported
+        if not use_pallas:
+            pb.bitsync_pallas_supported = lambda t, m, ell: False
+        try:
+            bs = BitStream(1200.0, mode=mode, time_major=True)
+            bs.bind(spec)
+            c = bs.init_carry()
+            c, r1 = jax.jit(bs.apply)(c, sym)
+            c, r2 = jax.jit(bs.apply)(c, sym2)
+            return jax.tree_util.tree_map(
+                np.asarray, (c, r1.data, r1.valid, r2.data, r2.valid))
+        finally:
+            pb.bitsync_pallas_supported = orig
+
+    for mode in ("normal", "transition"):
+        a = jax.tree_util.tree_leaves(run(True, mode))
+        b = jax.tree_util.tree_leaves(run(False, mode))
+        assert all(np.array_equal(x, y) for x, y in zip(a, b)), mode
