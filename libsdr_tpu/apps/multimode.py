@@ -1,0 +1,214 @@
+"""Multi-mode digital decoder bank sharing ONE wideband front end
+(BASELINE.json config 4: "AX.25/APRS + RTTY/PSK31 multi-mode digital
+decoder bank sharing one front-end").
+
+One polyphase channelizer pass over the wideband capture (the generalized
+form of the reference's shared forward FFT feeding N selectable bands,
+/root/reference/src/filternode.hh:231-283) produces all M complex channel
+streams at once; a per-channel MODE MAP then routes channel groups into
+batched per-mode demod+bit chains — each mode's group runs as ONE pipeline
+with a leading channel dim, so 30 POCSAG channels cost one batched chain,
+not 30:
+
+  pocsag  FMDemod -> ASK -> BitStream(NORMAL) -> POCSAG FSM
+          (reference: examples/sdr_pocsag.cc:110-174)
+  ax25    FMDemod -> FSKDetector(1200/2200) -> BitStream(TRANSITION)
+          -> HDLC/APRS          (reference: examples/sdr_ax25.cc:109-175)
+  rtty    USBDemod -> FSKDetector(930/1100 @ 2x45.45) -> BitStream(NORMAL)
+          -> Baudot             (reference: examples/sdr_rtty.cc:37-60)
+  psk31   IQBaseBand(200 Hz select, ~2 kHz) -> BPSK31 -> Varicode
+          (reference: src/psk31.hh)
+
+TPU mapping: the channelizer runs as the fused Pallas PFB kernel on TPU
+(ops/pallas_pfb.py, demod-free variant so every mode sees the complex
+band); the per-mode chains are lane-parallel batched ops; only the final
+~1 kbit/s/channel bit streams reach the host decoders.
+
+Usage:
+  python -m libsdr_tpu.apps.multimode --file wide.wav --channels 16 \
+      --map "2:pocsag,5:ax25,9:rtty,12:psk31"
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from libsdr_tpu import Pipeline, StreamSpec
+from libsdr_tpu.core import cplx, stream_blocks
+from libsdr_tpu.core.ragged import Ragged, compact
+from libsdr_tpu.decode import (APRSMessage, AX25Decoder, BaudotDecoder,
+                               VaricodeDecoder, parse_aprs,
+                               pocsag_decode_bits)
+from libsdr_tpu.ops import (BPSK31, ASKDetector, BitStream, FMDemod,
+                            FSKDetector, IQBaseBand, USBDemod)
+from libsdr_tpu.ops.channelizer import Channelizer
+from libsdr_tpu.utils import logging as sdrlog
+from libsdr_tpu.utils.options import add_source_args, common_parser, load_source
+
+MODES = ("pocsag", "ax25", "rtty", "psk31")
+
+
+def _mode_stages(mode: str, ch_rate: float):
+    if mode == "pocsag":
+        return [FMDemod(), ASKDetector(invert=True),
+                BitStream(1200.0, mode="normal")]
+    if mode == "ax25":
+        return [FMDemod(), FSKDetector(1200.0, 1200.0, 2200.0),
+                BitStream(1200.0, mode="transition")]
+    if mode == "rtty":
+        return [USBDemod(), FSKDetector(2 * 45.45, 930.0, 1100.0),
+                BitStream(2 * 45.45, mode="normal")]
+    if mode == "psk31":
+        # Select the 200 Hz PSK31 slot and decimate near the node's 2 kHz
+        # operating point (reference: src/psk31.hh:86-92).
+        return [IQBaseBand(fc=0.0, width=200.0, order=64,
+                           out_rate=2000.0, design="textbook"),
+                BPSK31()]
+    raise SystemExit(f"unknown mode {mode!r} (use {'/'.join(MODES)})")
+
+
+def build_bank(fs: float, block: int, n_channels: int,
+               mode_map: Dict[int, str]):
+    """Build the shared-front-end bank.
+
+    Returns (step, init_carry, groups): ``step(carry, x)`` consumes one
+    (block,) complex wideband block and returns ``{mode: Ragged bits}``
+    with rows ordered like ``groups[mode]`` (the channel indices of that
+    mode).  One Channelizer feeds every group; each group is one batched
+    pipeline.
+    """
+    import jax
+
+    m = n_channels
+    if block % m:
+        raise SystemExit("block must divide by the channel count")
+    ch_rate = fs / m
+    t_full = block // m
+
+    chan = Channelizer(m, taps_per_branch=8)
+    chan.bind(StreamSpec(np.complex64, fs, block))
+
+    groups: Dict[str, np.ndarray] = {}
+    for ch, mode in sorted(mode_map.items()):
+        if not 0 <= ch < m:
+            raise SystemExit(f"channel {ch} outside 0..{m - 1}")
+        groups.setdefault(mode, []).append(ch)
+    groups = {mode: np.asarray(idxs, np.int32)
+              for mode, idxs in groups.items()}
+
+    sub = {}
+    for mode, idxs in groups.items():
+        p = Pipeline(_mode_stages(mode, ch_rate), name=f"bank_{mode}")
+        p.bind(StreamSpec(np.complex64, ch_rate, t_full,
+                          channels=(len(idxs),)))
+        sub[mode] = p
+
+    def step(carry, x):
+        cc, carries = carry
+        cc, y = chan.apply(cc, x)                      # (M, T) complex bank
+        outs, new = {}, {}
+        for mode, p in sub.items():
+            cg, bits = p.apply(carries[mode], y[groups[mode]])
+            new[mode] = cg
+            outs[mode] = bits
+        return (cc, new), outs
+
+    def init_carry():
+        return (chan.init_carry(),
+                {mode: p.init_carry() for mode, p in sub.items()})
+
+    return jax.jit(step), init_carry, groups
+
+
+def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
+                   mode_map: Dict[int, str], block: int = None
+                   ) -> Dict[int, Tuple[str, object]]:
+    """Run the bank over a capture; returns {channel: (mode, decoded)}.
+
+    decoded: POCSAG message list / AX.25+APRS message list / RTTY text /
+    PSK31 text, per the channel's mode."""
+    m = n_channels
+    if block is None:
+        block = int(fs // 2)
+    block -= block % (m * 16)
+    step, init_carry, groups = build_bank(fs, block, m, mode_map)
+    carry = init_carry()
+    acc = {mode: [] for mode in groups}
+    for blk in stream_blocks(iq, block):
+        carry, outs = step(carry, cplx.as_block(blk))
+        for mode, bits in outs.items():
+            acc[mode].append((np.asarray(bits.data), np.asarray(bits.valid)))
+
+    found: Dict[int, Tuple[str, object]] = {}
+    for mode, idxs in groups.items():
+        data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
+        valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
+        for row, ch in enumerate(idxs):
+            bits = compact(Ragged(data[row], valid[row]))
+            if mode == "pocsag":
+                out = pocsag_decode_bits(bits)
+            elif mode == "ax25":
+                dec = AX25Decoder()
+                dec.process(bits)
+                out = [(f, parse_aprs(f)) for f in dec.messages]
+            elif mode == "rtty":
+                out = BaudotDecoder(stop_bits="1.5").process(bits)
+            else:                          # psk31
+                out = VaricodeDecoder().process(bits)
+            if (out if not isinstance(out, str) else out.strip()):
+                found[int(ch)] = (mode, out)
+    return found
+
+
+def _parse_map(s: str) -> Dict[int, str]:
+    out = {}
+    for item in s.split(","):
+        if not item.strip():
+            continue
+        ch, _, mode = item.partition(":")
+        out[int(ch)] = mode.strip().lower()
+    if not out:
+        raise SystemExit("empty --map (want e.g. '2:pocsag,5:ax25')")
+    return out
+
+
+def main(argv=None):
+    ap = common_parser(
+        "Multi-mode decoder bank: one channelizer front end, per-channel "
+        "POCSAG/AX.25/RTTY/PSK31 decode (BASELINE config 4)")
+    add_source_args(ap)
+    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--map", required=True,
+                    help="per-channel modes, e.g. '2:pocsag,5:ax25,9:rtty'")
+    args = ap.parse_args(argv)
+    sdrlog.set_level(args.log_level)
+
+    iq, fs = load_source(args)
+    if not np.iscomplexobj(iq):
+        raise SystemExit("multimode expects an IQ capture")
+    mode_map = _parse_map(args.map)
+    found = scan_multimode(iq, fs, args.channels, mode_map)
+    m = args.channels
+    for ch in sorted(found):
+        mode, out = found[ch]
+        f_center = ch * fs / m if ch <= m // 2 else ch * fs / m - fs
+        hdr = f"ch {ch:4d} ({f_center / 1e3:+9.1f} kHz) [{mode}]"
+        if mode == "pocsag":
+            for msg in out:
+                print(f"{hdr}: POCSAG @{msg.address} '{msg.best_decode()}'")
+        elif mode == "ax25":
+            for frame, aprs in out:
+                print(f"{hdr}: {frame}")
+                if aprs is not None:
+                    print(f"{hdr}:   {aprs}")
+        else:
+            print(f"{hdr}: {out.strip()}")
+    if not found:
+        print("no traffic decoded")
+    return found
+
+
+if __name__ == "__main__":
+    main()

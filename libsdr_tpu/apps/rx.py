@@ -26,7 +26,9 @@ def main(argv=None):
                    help="switch demodulator live at stream time SECONDS "
                         "(repeatable; the front-end filter state is "
                         "preserved across the switch — the new mode's "
-                        "audio rate must match the current one)")
+                        "audio rate must match the current one; switches "
+                        "apply at the next block boundary, i.e. quantized "
+                        "up to block-size/rate seconds)")
     args = p.parse_args(argv)
     sdrlog.set_level(args.log_level)
 
@@ -54,7 +56,7 @@ def main(argv=None):
         step = rx.compile()
         pieces = []
         t = 0.0
-        for blk in stream_blocks(iq, args.block_size):
+        for i, blk in enumerate(stream_blocks(iq, args.block_size)):
             while switches and t >= switches[0][0]:
                 _, mode = switches.pop(0)
                 carry = rx.switch_stages(
@@ -68,7 +70,11 @@ def main(argv=None):
                 print(rx.describe())
             carry, y = step(carry, cplx.as_block(blk))
             pieces.append(np.asarray(y))
-            t += args.block_size / fs
+            # advance by the REAL (unpadded) sample count: the final block
+            # is zero-padded, and nominal accounting would skew or skip a
+            # switch requested near end-of-stream.
+            t += min(args.block_size,
+                     len(iq) - i * args.block_size) / fs
         audio = np.concatenate(pieces)
     write_wav(args.output, np.clip(audio, -1, 1), int(rx.out_spec.rate_hz))
     print(f"wrote {len(audio)} samples @ {rx.out_spec.rate_hz:g} Hz")

@@ -73,9 +73,15 @@ def scan(iq: np.ndarray, fs: float, n_channels: int, block: int = None,
         carry, (d, k) = step(carry, splace(blk))
         datas.append(np.asarray(d))
         counts.append(np.asarray(k))
+    overflow = max(int(k.max()) for k in counts) - cap
+    if overflow > 0:
+        sdrlog.get_logger("scanner").warning(
+            "compact_device capacity overflow: a channel produced %d bits "
+            "over the %d cap this block — raise the cap margin", overflow,
+            cap)
     found = {}
     for ch in range(m):
-        bits = np.concatenate([d[ch, :k[ch]]
+        bits = np.concatenate([d[ch, :min(k[ch], cap)]
                                for d, k in zip(datas, counts)])
         msgs = pocsag_decode_bits(bits)
         if msgs:

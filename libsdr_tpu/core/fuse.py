@@ -29,9 +29,13 @@ from typing import List
 
 
 def _on_tpu() -> bool:
-    import jax
+    """Whether fused ops may be installed: kernels available in the current
+    kernel_mode (auto-on-TPU, or interpret mode forcing them anywhere).  The
+    fused ops carry exact XLA fallbacks, so fusing is always correct — this
+    gate only decides where the rewrite is *profitable*."""
     try:
-        return jax.default_backend() == "tpu"
+        from libsdr_tpu.ops.fir import kernel_dispatch
+        return kernel_dispatch()[0]
     except Exception:
         return False
 

@@ -20,7 +20,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import jax
 
 from libsdr_tpu.core.block import Carry, Processor
-from libsdr_tpu.core.stream import StreamSpec
+from libsdr_tpu.core.stream import ConfigError, StreamSpec
 
 
 class Pipeline(Processor):
@@ -48,13 +48,29 @@ class Pipeline(Processor):
         # in, so it must be invalidated (retune contract: set_freq/set_band
         # then re-bind + compile).
         self._step = None
+        orig = list(self.stages)
         if self.optimize:
             from libsdr_tpu.core.fuse import fuse_stages
-            self.stages = fuse_stages(self.stages)
-        spec = in_spec
-        for stage in self.stages:
-            spec = stage.bind(spec)
-        return spec
+            self.stages = fuse_stages(orig)
+        try:
+            spec = in_spec
+            for stage in self.stages:
+                spec = stage.bind(spec)
+            return spec
+        except ConfigError:
+            # A fusion can tighten a bind constraint (e.g. WidebandFM needs
+            # block >= M*P where the unfused Channelizer+FMDemod pair only
+            # needs block % M == 0).  If the rewrite changed the stage list,
+            # restore the original stages and bind them unfused — the fused
+            # ops are pure optimizations, never capability changes.
+            if (len(self.stages) == len(orig)
+                    and all(a is b for a, b in zip(self.stages, orig))):
+                raise
+            self.stages = orig
+            spec = in_spec
+            for stage in orig:
+                spec = stage.bind(spec)
+            return spec
 
     def init_carry(self) -> Carry:
         return tuple(stage.init_carry() for stage in self.stages)

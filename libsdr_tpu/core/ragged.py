@@ -63,6 +63,10 @@ def compact_device(r, capacity: int):
     device->host transfer by ~1/valid_fraction — decisive through slow
     links (this environment's tunnel moves ~0.7 GB/s).  Items beyond
     ``capacity`` are dropped (size generously: cap >= expected + margin).
+
+    ``counts`` is the UNCLAMPED valid count, so overflow is detectable:
+    ``counts > capacity`` means items were dropped (the first ``capacity``
+    are kept).  Host-side slicing ``data[..., :count]`` clips naturally.
     """
     import jax.numpy as jnp
 
@@ -78,8 +82,7 @@ def compact_device(r, capacity: int):
             idx.reshape(-1, idx.shape[-1]),
             data.reshape(-1, data.shape[-1])
         ).reshape(data.shape[:-1] + (capacity + 1,))
-    counts = jnp.minimum(valid.sum(axis=-1), capacity)
-    return out[..., :capacity], counts
+    return out[..., :capacity], valid.sum(axis=-1)
 
 
 def concat_host(blocks) -> "Ragged":

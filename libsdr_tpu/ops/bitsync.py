@@ -80,23 +80,43 @@ class BitStream(Processor):
         t_steps = x_t.shape[0]
         ch_shape = x_t.shape[1:]
         m_flat = int(np.prod(ch_shape)) if ch_shape else 1
+        from libsdr_tpu.ops.fir import kernel_dispatch
         from libsdr_tpu.ops.pallas_bitsync import bitsync_pallas_supported
-        if (jax.default_backend() == "tpu"
-                and bitsync_pallas_supported(t_steps, m_flat, L)):
+        use_k, interp = kernel_dispatch()
+        # Lanes pad up to whole 128-lane rows: a 64-channel bank runs the
+        # kernel on 128 lanes (pad lanes carry zero symbols, outputs and
+        # states discarded) — still ~60x cheaper than the per-step scan on
+        # long blocks (the scan costs ~0.5 us/step regardless of width; the
+        # AX.25 bank at 64 ch x 512k audio steps measured ~260 ms on it).
+        m_pad = -(-m_flat // 128) * 128
+        if use_k and bitsync_pallas_supported(t_steps, m_pad, L):
             # Fused majority+PLL Pallas kernel: same recurrence as below,
             # bit-exact, ~5x faster on wide channel banks (VMEM sign ring +
             # register-resident PLL state instead of block cumsums and
             # per-step XLA slicing; see ops/pallas_bitsync.py).
             from libsdr_tpu.ops.pallas_bitsync import pll_pallas
+
+            def pad(a):
+                if m_pad == m_flat:
+                    return a
+                widths = [(0, 0)] * (a.ndim - 1) + [(0, m_pad - m_flat)]
+                return jnp.pad(a, widths)
+
             out, sg2, ss2, phase, omega, last_bits = pll_pallas(
-                x_t.reshape(t_steps, m_flat),
-                jnp.moveaxis(carry["signs"], -1, 0).reshape(L - 1, m_flat),
-                carry["sym_sum"].reshape(m_flat),
-                carry["phase"].reshape(m_flat),
-                carry["omega"].reshape(m_flat),
-                carry["last_bits"].reshape(m_flat),
+                pad(x_t.reshape(t_steps, m_flat)),
+                pad(jnp.moveaxis(carry["signs"], -1, 0
+                                 ).reshape(L - 1, m_flat)),
+                pad(carry["sym_sum"].reshape(m_flat)),
+                pad(carry["phase"].reshape(m_flat)),
+                pad(carry["omega"].reshape(m_flat)),
+                pad(carry["last_bits"].reshape(m_flat)),
                 omega_min=self._omega_min, omega_max=self._omega_max,
-                gain=self._pll_gain, transition=mode_transition)
+                gain=self._pll_gain, transition=mode_transition,
+                interpret=interp)
+            out = out[..., :m_flat]
+            sg2 = sg2[..., :m_flat]
+            ss2, phase = ss2[..., :m_flat], phase[..., :m_flat]
+            omega, last_bits = omega[..., :m_flat], last_bits[..., :m_flat]
             bits = (out & 1).astype(jnp.uint8).reshape(x_t.shape)
             valid = ((out & 2) != 0).reshape(x_t.shape)
             new_carry = dict(

@@ -116,14 +116,17 @@ class Channelizer(Processor):
         lead = x.shape[:-1]
         t = x.shape[-1] // m
         frames = x.reshape(lead + (t, m))                   # raw frame t
-        if (not lead and t > p and jax.default_backend() == "tpu"):
+        from libsdr_tpu.ops.fir import kernel_dispatch
+        use_k, interp = kernel_dispatch()
+        if not lead and t > p and use_k:
             from libsdr_tpu.ops import pallas_pfb
             if pallas_pfb.mxu_pfb_supported(m, t, p, dtype=x.re.dtype):
                 # Fused Pallas kernel: one pass over the wideband stream
                 # (~5x the staged XLA path at M=1024 on the v5e); its lane-
                 # permuted time-major output is regathered to this op's
                 # public (M, t) channel-major contract.
-                y_lane = pallas_pfb.pfb_mxu(frames, carry, self._taps3_np, m)
+                y_lane = pallas_pfb.pfb_mxu(frames, carry, self._taps3_np, m,
+                                            interpret=interp)
                 lp = pallas_pfb.lane_of_channel(m)
                 y = y_lane[:, lp].map(lambda a: jnp.swapaxes(a, -1, -2))
                 # Slice the 1-D stream, then reshape: slicing the (t, m)

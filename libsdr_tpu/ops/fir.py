@@ -242,14 +242,14 @@ def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
     # Exact-tiling Pallas kernel (wide complex banks, the standard
     # offset=stride-1): consumes tail+block and emits exactly B/stride
     # outputs — no lead/main/rest split, no output concat.
-    if (USE_PALLAS_MXU and stride > 1 and offset == stride - 1
+    use_k, interp = kernel_dispatch()
+    if (use_k and stride > 1 and offset == stride - 1
             and isinstance(x, Complex) and isinstance(tail, Complex)
-            and x.re.ndim == 2 and x.re.shape[0] >= 64
-            and jax.default_backend() == "tpu"):
+            and x.re.ndim == 2 and x.re.shape[0] >= 64):
         from libsdr_tpu.ops import pallas_fir_mxu as pfm
         if pfm.mxu_fir2_supported(t, stride, x.re.shape[0], b,
                                   dtype=x.re.dtype):
-            y = pfm.fir_exact(x, taps, stride, tail)
+            y = pfm.fir_exact(x, taps, stride, tail, interpret=interp)
             return y, x[..., b - (t - 1):]
     # Output j's window covers input samples [offset + j*stride - (t-1),
     # offset + j*stride] in tail-concatenated coordinates shifted by t-1:
@@ -276,6 +276,59 @@ def fir_overlap_save(taps, x, tail, stride: int = 1, offset: int = 0):
 # Kill switch for the Pallas MXU kernel backend (wide channel banks).
 USE_PALLAS_MXU = True
 
+# Kernel dispatch mode for the current trace context:
+#   'auto'      — Pallas kernels on real TPU backends (the default).
+#   'off'       — never emit a pallas_call.  REQUIRED for traces that XLA
+#                 GSPMD will partition over a >1-device mesh (a pallas_call
+#                 has no SPMD partitioning rule there: XLA would wrap it in
+#                 an all-gather, or fail to compile).  shard_map bodies are
+#                 NOT affected — inside shard_map operands are device-local,
+#                 so kernels stay on (that is the supported multi-chip path,
+#                 parallel/wideband.py).
+#   'interpret' — force kernel dispatch with interpret=True even off-TPU.
+#                 Lets multi-device CPU tests and the driver dryrun execute
+#                 the REAL shard_map+pallas program structure without chips.
+_KERNEL_MODE = "auto"
+
+
+class kernel_mode:
+    """Context manager overriding Pallas kernel dispatch while tracing.
+
+    The dispatch decision is made in Python at trace time, so wrapping the
+    traced call (not the jit construction) is what matters::
+
+        with kernel_mode('off'):
+            jax.jit(step)(carry, x)   # traces with kernels disabled
+    """
+
+    def __init__(self, mode: str):
+        if mode not in ("auto", "off", "interpret"):
+            raise ConfigError(f"kernel_mode: unknown mode {mode!r}")
+        self.mode = mode
+
+    def __enter__(self):
+        global _KERNEL_MODE
+        self._saved = _KERNEL_MODE
+        _KERNEL_MODE = self.mode
+        return self
+
+    def __exit__(self, *exc):
+        global _KERNEL_MODE
+        _KERNEL_MODE = self._saved
+        return False
+
+
+def kernel_dispatch():
+    """(use_kernels, interpret) for the current trace context.
+
+    Every Pallas dispatch gate funnels through this: the USE_PALLAS_MXU kill
+    switch, the kernel_mode override, and the backend check."""
+    if not USE_PALLAS_MXU or _KERNEL_MODE == "off":
+        return False, False
+    if _KERNEL_MODE == "interpret":
+        return True, True
+    return jax.default_backend() == "tpu", False
+
 
 def set_mxu_precision(mode: str) -> None:
     """Select the Pallas MXU kernels' matmul precision.
@@ -283,9 +336,12 @@ def set_mxu_precision(mode: str) -> None:
     'high' (default): manual 3-pass bf16 split == XLA HIGH (~1e-5 relative
     — above every reference parity contract; the chain then runs
     HBM/matmul-balanced at ~22-26 Gsps on the FM bank).
-    'fast': single-pass bf16 (~3e-3 relative, ~50 dB audio SNR — at the
-    fidelity of an 8-bit source). Measured 2.2-2.6x: ~55 Gsps f32 planes,
-    ~57 Gsps bf16 planes on the 64-channel FM bank.
+    'fast': single-pass bf16 (~3e-3 relative per matmul).  On a real FM
+    signal the demodulated audio measures 93 dB SNR vs the 'high' chain
+    (bench.py fast-precision config, 64-ch WFM bank — angle discrimination
+    cancels most of the per-matmul error; the on-chip smoke gate asserts
+    >= 70 dB, tests/test_tpu_smoke.py).  Measured 2.2-2.6x: ~55 Gsps f32
+    planes, ~57 Gsps bf16 planes on the 64-channel FM bank.
 
     Applies to subsequently compiled steps (precision is a static compile
     parameter); already-compiled steps keep theirs.
@@ -303,11 +359,10 @@ def _try_pallas_mxu(x, taps, stride: int, s0: int):
     product in VMEM — measured ~14 Gsps vs ~9 for the XLA matmul on wide
     banks (>=64 channels: the kernel's channel tile is its MXU row count).
     Returns (y_full, nsp) or None when not applicable."""
-    if not USE_PALLAS_MXU or not isinstance(x, Complex):
+    use_k, interp = kernel_dispatch()
+    if not use_k or not isinstance(x, Complex):
         return None
     if x.re.ndim != 2 or x.re.shape[0] < 64:
-        return None
-    if jax.default_backend() not in ("tpu",):
         return None
     taps_np = np.asarray(taps)
     if not np.iscomplexobj(taps_np):
@@ -317,7 +372,7 @@ def _try_pallas_mxu(x, taps, stride: int, s0: int):
     if not pfm.mxu_fir_supported(taps_np.shape[0], stride, s0, c, b,
                                  dtype=x.re.dtype):
         return None
-    y, nsp = pfm.fir_mxu(x, taps_np, stride, s0)
+    y, nsp = pfm.fir_mxu(x, taps_np, stride, s0, interpret=interp)
     return y, nsp, pfm._S
 
 

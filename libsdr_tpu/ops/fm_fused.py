@@ -111,9 +111,9 @@ class AMBasebandFused(Processor):
                     else (new_tail, sd_state)), audio
 
         from libsdr_tpu.ops import fir as fir_mod
-        on_wide_tpu = (fir_mod.USE_PALLAS_MXU and self._ab is not None
-                       and x.re.ndim == 2 and x.re.shape[0] >= 64
-                       and jax.default_backend() == "tpu")
+        use_k, interp = fir_mod.kernel_dispatch()
+        on_wide_tpu = (use_k and self._ab is not None
+                       and x.re.ndim == 2 and x.re.shape[0] >= 64)
         # Exact-tiling kernel first: it consumes tail+block whole, so the
         # lead segment below would be traced-then-dead on this path.
         if on_wide_tpu and offset == d - 1:
@@ -125,7 +125,8 @@ class AMBasebandFused(Processor):
                     x, self._g2, d, tail,
                     cplx.zeros((c, 1), jnp.float32), 1.0, self._gain,
                     deemph_ab=self._ab,
-                    deemph_lead=sd_state[..., None], mode="am")
+                    deemph_lead=sd_state[..., None], mode="am",
+                    interpret=interp)
                 sd_state = exports.re[..., 0]   # AGC envelope state export
                 new_tail = x[..., b - (t - 1):]
                 return (new_tail, sd_state), audio
@@ -146,7 +147,7 @@ class AMBasebandFused(Processor):
                 audio_full, sd_kernel, nsp = pfm.fir_fm_mxu(
                     x, self._g2, d, s0, lead0, 1.0, self._gain,
                     deemph_ab=self._ab, deemph_lead=sd_lead[..., None],
-                    mode="am")
+                    mode="am", interpret=interp)
                 s_k = pfm._S
                 f_full = b // (d * s_k)
                 n_valid = min(f_full * s_k - nsp, n_main)
@@ -278,11 +279,11 @@ class USBBasebandFused(Processor):
             return (new_tail, self._next_phasor(a0), sd)
 
         from libsdr_tpu.ops import fir as fir_mod
-        if (fir_mod.USE_PALLAS_MXU and self._ab is not None
+        use_k, interp = fir_mod.kernel_dispatch()
+        if (use_k and self._ab is not None
                 and self._frame_ramp is not None
                 and x.re.ndim == 2 and x.re.shape[0] >= 64
-                and offset == d - 1
-                and jax.default_backend() == "tpu"):
+                and offset == d - 1):
             from libsdr_tpu.ops import pallas_fir_mxu as pfm
             if pfm.mxu_fir2_supported(t, d, x.re.shape[0], b,
                                       dtype=x.re.dtype):
@@ -294,7 +295,7 @@ class USBBasebandFused(Processor):
                     x, self._g2, d, tail, cplx.zeros((c, 1), jnp.float32),
                     1.0, self._gain, deemph_ab=self._ab,
                     deemph_lead=sd_state[..., None], mode="usb",
-                    usb_phasors=(fph, self._rrow))
+                    usb_phasors=(fph, self._rrow), interpret=interp)
                 return pack(x[..., b - (t - 1):],
                             exports.re[..., 0]), audio
 
@@ -403,10 +404,10 @@ class FMBasebandFused(Processor):
             return self._carry_out(new_tail, y[..., -1], dstate), audio
 
         from libsdr_tpu.ops import fir as fir_mod
-        on_wide_tpu = (fir_mod.USE_PALLAS_MXU  # kill switch covers the
-                       # fused kernels too (they subsume the Pallas FIR)
-                       and x.re.ndim == 2 and x.re.shape[0] >= 64
-                       and jax.default_backend() == "tpu")
+        # kernel_dispatch covers the kill switch + kernel_mode override
+        # (the fused kernels subsume the Pallas FIR).
+        use_k, interp = fir_mod.kernel_dispatch()
+        on_wide_tpu = (use_k and x.re.ndim == 2 and x.re.shape[0] >= 64)
         if on_wide_tpu and offset == d - 1:
             # Exact-tiling kernel: consumes tail+block, emits EXACTLY b/d
             # outputs — no lead/rest segments and no full-rate audio
@@ -419,7 +420,8 @@ class FMBasebandFused(Processor):
                     x, self._g2, d, tail, prev[..., None], self._rot,
                     self._gain, deemph_ab=self._dab,
                     deemph_lead=(dstate[..., None]
-                                 if self._dab is not None else None))
+                                 if self._dab is not None else None),
+                    interpret=interp)
                 if self._dab is not None:
                     dstate = audio[..., -1]
                 new_tail = x[..., b - (t - 1):]
@@ -444,7 +446,8 @@ class FMBasebandFused(Processor):
                     self._gain,
                     deemph_ab=self._dab,
                     deemph_lead=(dlead[..., None]
-                                 if self._dab is not None else None))
+                                 if self._dab is not None else None),
+                    interpret=interp)
                 s_k = pfm._S
                 f_full = b // (d * s_k)
                 n_valid = min(f_full * s_k - nsp, n_main)

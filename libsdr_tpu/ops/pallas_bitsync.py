@@ -53,10 +53,16 @@ _MAX_RING = 512        # max majority window L (VMEM ring rows)
 
 def _tt_for(t: int, sub: int) -> int:
     """Largest _UNROLL-multiple divisor of t <= _MAX_TT (scaled down for
-    wide banks so a chunk stays ~2 MB); 0 if none suitable."""
+    wide banks so a chunk stays ~2 MB); 0 if none suitable.
+
+    Multi-chunk runs DMA the (u)int8 streams from HBM at row offset
+    ci*tt*sub; 1-byte TPU tiles are (32, 128), so that offset must stay
+    32-aligned — the same constraint class as the bf16 ct_align gate in
+    ops/pallas_fir_mxu.mxu_fir_supported.  A single-chunk run (tt == t)
+    always starts at offset 0 and is exempt."""
     cap = max(_UNROLL, min(_MAX_TT, _MAX_TT * 8 // sub))
     for tt in range(min(cap, t) // _UNROLL * _UNROLL, _UNROLL - 1, -_UNROLL):
-        if t % tt == 0:
+        if t % tt == 0 and (tt == t or (tt * sub) % 32 == 0):
             return tt
     return 0
 

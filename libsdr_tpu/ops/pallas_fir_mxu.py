@@ -300,29 +300,36 @@ _MAT_CACHE_NP: dict = {}
 _MAT_CACHE_DEV: dict = {}
 
 
-def _tracing_active() -> bool:
-    """True when called under a JAX trace (jit/scan/...).  Device-array
-    caching must be skipped there: a cached concrete array created inside
-    one trace must not leak into later traces.  Uses the private
-    trace-state probe when available, else conservatively reports True
-    (the fallback path just rebuilds jnp.asarray each call)."""
-    try:
-        from jax._src import core as _core
-        return not _core.trace_state_clean()
-    except Exception:
-        return True
+def to_device_cached(cache: dict, key, build_np, cap: int = 64):
+    """Device-resident constant pytree, cached ACROSS traces.
+
+    ``build_np()`` produces the numpy value on a miss; the device upload
+    runs under :func:`jax.ensure_compile_time_eval`, so even when first
+    touched inside a jit/shard_map trace it evaluates eagerly to a plain
+    committed array (safe to reuse by any later trace, where it folds as a
+    compile-time constant).  Keyed additionally by backend so CPU tests and
+    the TPU path never share buffers.  This replaces the old private
+    trace-state probe (jax._src.core.trace_state_clean) — caching is now
+    unconditionally safe, so no probe is needed.
+
+    Why a cache at all: rebuilding + re-uploading these constants costs
+    ~1.6 ms host numpy + ~1.4 ms tunnel upload PER STEP on this
+    environment — it dominated the kernel's own runtime when done eagerly
+    (found via jax.profiler)."""
+    key = (key, jax.default_backend())
+    m = cache.get(key)
+    if m is None:
+        with jax.ensure_compile_time_eval():
+            m = jax.tree_util.tree_map(jnp.asarray, build_np())
+        if len(cache) > cap:
+            cache.clear()
+        cache[key] = m
+    return m
 
 
 def _mats_on_device(taps: np.ndarray, stride: int, offset: int):
-    """Toeplitz matrix, cached by (taps, stride, offset): building it is
-    ~1.6 ms of host numpy and uploading 786 KB through this environment's
-    tunnel another ~1.4 ms — per STEP, it dominated the kernel's own
-    runtime when called eagerly (found via jax.profiler).
-
-    The numpy build is always cached.  The device-resident array is cached
-    only OUTSIDE traces (a tracer-context constant must not leak into later
-    traces); inside a jitted pipeline the constant folds at trace time
-    anyway."""
+    """Toeplitz matrix, cached by (taps, stride, offset) — numpy build and
+    device upload both cached (see :func:`to_device_cached`)."""
     key = (taps.tobytes(), int(stride), int(offset), _S, _NSP_PAD)
     m_np = _MAT_CACHE_NP.get(key)
     if m_np is None:
@@ -330,15 +337,7 @@ def _mats_on_device(taps: np.ndarray, stride: int, offset: int):
         if len(_MAT_CACHE_NP) > 64:
             _MAT_CACHE_NP.clear()
         _MAT_CACHE_NP[key] = m_np
-    if _tracing_active():
-        return jnp.asarray(m_np)  # trace-time constant, folds into the jit
-    m = _MAT_CACHE_DEV.get(key)
-    if m is None:
-        m = jnp.asarray(m_np)
-        if len(_MAT_CACHE_DEV) > 64:
-            _MAT_CACHE_DEV.clear()
-        _MAT_CACHE_DEV[key] = m
-    return m
+    return to_device_cached(_MAT_CACHE_DEV, key, lambda: m_np)
 
 
 def fir_mxu(x: Complex, taps: np.ndarray, stride: int, offset: int,
@@ -975,15 +974,7 @@ def _mats2_on_device(taps: np.ndarray, stride: int):
         if len(_MAT2_CACHE_NP) > 64:
             _MAT2_CACHE_NP.clear()
         _MAT2_CACHE_NP[key] = m_np
-    if _tracing_active():
-        return jnp.asarray(m_np)
-    m = _MAT2_CACHE_DEV.get(key)
-    if m is None:
-        m = jnp.asarray(m_np)
-        if len(_MAT2_CACHE_DEV) > 64:
-            _MAT2_CACHE_DEV.clear()
-        _MAT2_CACHE_DEV[key] = m
-    return m
+    return to_device_cached(_MAT2_CACHE_DEV, key, lambda: m_np)
 
 
 def fir_fm_exact(x: Complex, taps: np.ndarray, stride: int,

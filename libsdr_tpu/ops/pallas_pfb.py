@@ -305,30 +305,25 @@ def _consts(m: int, taps3: np.ndarray):
     Cached by (m, taps bytes): rebuilding + re-uploading these every call
     costs ~6 ms through this environment's tunnel (measured via
     jax.profiler — it dominated the kernel itself), the same trap as the
-    Toeplitz matrices in ops/pallas_fir_mxu._mats_on_device.  Device arrays
-    are cached only outside traces (same rule as there)."""
-    from libsdr_tpu.ops.pallas_fir_mxu import _tracing_active
+    Toeplitz matrices in ops/pallas_fir_mxu._mats_on_device.  Uploads go
+    through to_device_cached (eager under ensure_compile_time_eval, safe
+    to reuse across traces)."""
+    from libsdr_tpu.ops.pallas_fir_mxu import to_device_cached
 
     taps_np = np.asarray(taps3, np.float32)
-    key = (int(m), taps_np.tobytes())
-    cached = None if _tracing_active() else _CONST_CACHE.get(key)
-    if cached is not None:
-        return cached
-    n2 = m // _LANES
-    j1 = np.arange(_LANES)
-    k2 = np.arange(n2)
-    tw = np.exp(-2j * np.pi * np.outer(k2, j1) / m)
-    w = np.exp(-2j * np.pi * np.outer(j1, j1) / _LANES)
-    out = (jnp.asarray(taps_np),
-           jnp.asarray(tw.real.astype(np.float32)),
-           jnp.asarray(tw.imag.astype(np.float32)),
-           jnp.asarray(w.real.astype(np.float32)),
-           jnp.asarray(w.imag.astype(np.float32)))
-    if not _tracing_active():
-        if len(_CONST_CACHE) > 32:
-            _CONST_CACHE.clear()
-        _CONST_CACHE[key] = out
-    return out
+
+    def build():
+        n2 = m // _LANES
+        j1 = np.arange(_LANES)
+        k2 = np.arange(n2)
+        tw = np.exp(-2j * np.pi * np.outer(k2, j1) / m)
+        w = np.exp(-2j * np.pi * np.outer(j1, j1) / _LANES)
+        return (taps_np,
+                tw.real.astype(np.float32), tw.imag.astype(np.float32),
+                w.real.astype(np.float32), w.imag.astype(np.float32))
+
+    return to_device_cached(_CONST_CACHE, (int(m), taps_np.tobytes()),
+                            build, cap=32)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "p", "tt", "gain",
@@ -418,14 +413,11 @@ def pfb_mxu(x: Complex, hist: Complex, taps3: np.ndarray, m: int,
                          "mxu_pfb_supported before calling)")
     taps, twr, twi, wr, wim = _consts(m, taps3)
     if prev is None:
-        from libsdr_tpu.ops.pallas_fir_mxu import _tracing_active
-        key = ("prev", m)
-        prev = None if _tracing_active() else _CONST_CACHE.get(key)
-        if prev is None:
-            prev = Complex(jnp.ones((1, m), jnp.float32),
-                           jnp.zeros((1, m), jnp.float32))
-            if not _tracing_active():
-                _CONST_CACHE[key] = prev
+        from libsdr_tpu.ops.pallas_fir_mxu import to_device_cached
+        prev = to_device_cached(
+            _CONST_CACHE, ("prev", m),
+            lambda: Complex(np.ones((1, m), np.float32),
+                            np.zeros((1, m), np.float32)))
     outs = _pfb_call(x.re, x.im, hr=hist.re.astype(jnp.float32),
                      hi=hist.im.astype(jnp.float32), taps=taps, twr=twr,
                      twi=twi, wr=wr, wim=wim,

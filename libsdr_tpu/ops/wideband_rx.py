@@ -37,6 +37,49 @@ from libsdr_tpu.core.stream import ConfigError, StreamSpec
 from libsdr_tpu.ops.channelizer import fold_commutator, prototype_lowpass
 
 
+def wideband_fm_local(x, hist, prev, taps3_np, taps3_dev, m: int, p: int,
+                      gain: float = 1.0):
+    """The per-device fused channelize+FM stage, SHARED by the single-chip
+    op (:class:`WidebandFM`) and the multi-chip shard_map bodies
+    (parallel/wideband.py) — a device-local segment is just a smaller
+    single-chip problem, so both paths dispatch to the same Pallas kernel
+    (or its bit-equivalent XLA fallback off-TPU).
+
+    Args:
+      x: (..., B_local) planar complex 1-D segment (B_local % m == 0).
+      hist: (..., P, M) planar carry/halo frames preceding the segment.
+      prev: (..., 1, M) planar y[-1] per LANE (discriminator seed).
+      taps3_np / taps3_dev: folded-commutator taps (numpy for the kernel
+        const cache, device array for the XLA fallback).
+
+    Returns (audio_lane (..., F, M) f32 time-major lane-permuted,
+    y_last (..., 1, M) planar — the next segment's ``prev``).
+    """
+    from libsdr_tpu.ops import pallas_pfb
+    from libsdr_tpu.ops.fir import kernel_dispatch
+    from libsdr_tpu.parallel.wideband import channelize_segment
+
+    lead = x.shape[:-1]
+    f_total = x.shape[-1] // m
+    use_k, interp = kernel_dispatch()
+    use_kernel = (not lead and f_total > p and use_k
+                  and pallas_pfb.mxu_pfb_supported(
+                      m, f_total, p, dtype=x.re.dtype, demod=True))
+    if use_kernel:
+        frames = x.reshape(lead + (f_total, m))
+        return pallas_pfb.pfb_mxu(frames, hist, taps3_np, m, gain=gain,
+                                  prev=prev, demod=True, interpret=interp)
+    # XLA fallback (CPU / leading dims / unsupported shapes): staged
+    # channelize + demod in the kernel's lane layout.
+    chan = pallas_pfb.channel_of_lane(m)
+    y_chan = channelize_segment(x, hist, taps3_dev, m, p)
+    y_lane = y_chan[..., chan, :].map(
+        lambda a: jnp.swapaxes(a, -1, -2))            # (..., F, M)
+    shifted = cplx.concatenate([prev, y_lane[..., :-1, :]], axis=-2)
+    audio_lane = (y_lane * shifted.conj()).angle() * gain
+    return audio_lane, y_lane[..., f_total - 1:f_total, :]
+
+
 class WidebandFM(Processor):
     """Fused channelizer + FM demod bank over a wideband stream.
 
@@ -107,33 +150,14 @@ class WidebandFM(Processor):
         return (hist, prev)
 
     def apply(self, carry, x):
-        from libsdr_tpu.ops import pallas_pfb
-        from libsdr_tpu.parallel.wideband import channelize_segment
-
         m, p = self.m, self.p
         hist, prev = carry       # hist (..., p, m); prev (..., 1, m) [lane]
         lead = x.shape[:-1]
         b = x.shape[-1]
         f_total = b // m
-        chan = self._chan
-        use_kernel = (not lead and f_total > p
-                      and jax.default_backend() == "tpu"
-                      and pallas_pfb.mxu_pfb_supported(
-                          m, f_total, p, dtype=x.re.dtype, demod=True))
-        if use_kernel:
-            frames = x.reshape(lead + (f_total, m))
-            audio_lane, new_prev = pallas_pfb.pfb_mxu(
-                frames, hist, self._taps3, m, gain=self.gain, prev=prev,
-                demod=True)
-        else:
-            # XLA fallback (CPU tests / leading dims / unsupported shapes):
-            # staged channelize + demod in the kernel's lane layout.
-            y_chan = channelize_segment(x, hist, self._taps3_dev, m, p)
-            y_lane = y_chan[..., chan, :].map(
-                lambda a: jnp.swapaxes(a, -1, -2))        # (..., F, M)
-            shifted = cplx.concatenate([prev, y_lane[..., :-1, :]], axis=-2)
-            audio_lane = (y_lane * shifted.conj()).angle() * self.gain
-            new_prev = y_lane[..., f_total - 1:f_total, :]
+        audio_lane, new_prev = wideband_fm_local(
+            x, hist, prev, self._taps3, self._taps3_dev, m, p,
+            gain=self.gain)
         # Carry: the last P raw frames.  NOTE: slice the 1-D stream FIRST,
         # then reshape the small piece — slicing a reshape of the full block
         # materializes the whole reshaped array (~3 ms at 128 MB, measured).

@@ -68,5 +68,21 @@ def shard_pipeline_step(pipeline: Pipeline, mesh: Mesh,
             lambda a: jax.device_put(a, block_sharding), x)
 
     carry = _shard_carry(pipeline.init_carry(), mesh, n_ch)
-    step = jax.jit(pipeline.apply)
+
+    # GSPMD partitions this trace over the mesh.  A pallas_call has no SPMD
+    # partitioning rule: on a >1-device mesh XLA would wrap it in an
+    # all-gather (or fail to compile), so kernel dispatch is forced off for
+    # this trace — every kernel site has an equivalent XLA fallback that
+    # GSPMD shards cleanly.  (Kernels on multi-chip meshes run via
+    # shard_map with device-local operands instead: parallel/wideband.py.)
+    n_dev = int(mesh.devices.size)
+
+    def step_fn(carry, x):
+        if n_dev > 1:
+            from libsdr_tpu.ops.fir import kernel_mode
+            with kernel_mode("off"):
+                return pipeline.apply(carry, x)
+        return pipeline.apply(carry, x)
+
+    step = jax.jit(step_fn)
     return step, place_input, carry

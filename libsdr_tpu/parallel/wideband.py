@@ -3,18 +3,28 @@ demod bank — the flagship scale-out pipeline (BASELINE.json config 5).
 
 Stage layout over an n-device 1-D mesh ('d',):
 
-1. **Channelize, time-sharded**: the wideband block (B,) is split along
-   time; each device runs the polyphase channelizer on its B/n segment, with
-   the P-frame filter history exchanged as a ppermute halo (the distributed
-   form of the channelizer carry).
-2. **Reshard**: one all_to_all turns (M channels, t/n local time) into
-   (M/n local channels, t full time) — channels ride the ICI once.
-3. **Demodulate, channel-sharded**: each device FM-demodulates its M/n
-   channels over the full block; per-channel demod state (prev sample)
-   stays device-local.
+1. **Channelize + demodulate, time-sharded**: the wideband block (B,) is
+   split along time; each device runs the SAME fused PFB+FM path as the
+   single-chip op (ops/wideband_rx.py::wideband_fm_local — the Pallas
+   kernel on TPU, its bit-equivalent XLA fallback elsewhere) on its B/n
+   segment.  The (P+1)-frame filter history arrives as a ppermute halo (the
+   distributed form of the channelizer carry); the quadrature
+   discriminator's y[-1] seed for the segment is recomputed locally from
+   that halo (a single-frame channelize — the halo is one frame wider than
+   the filter needs exactly so this is possible), so the demod fuses INTO
+   the channelizer kernel and only f32 audio ever crosses the ICI.
+2. **Reshard**: one all_to_all turns (t/n local time, M channels) into
+   (t full time, M/n local channels) — the decimated AUDIO rides the ICI
+   once (half the bytes of the complex channel bank).
+3. **Per-channel decode, channel-sharded**: each device owns M/n channels
+   over the full block; sequential per-channel state (bit-sync PLL) stays
+   device-local.
 
 This is the moral equivalent of sequence parallelism (stage 1) feeding data
-parallelism (stage 3) with a single collective between them.
+parallelism (stage 3) with a single collective between them.  n == 1
+degenerates to exactly the single-chip fused program (collectives skipped
+statically — on this backend they lower ~6x slower than the op even on a
+1-device mesh).
 """
 
 from __future__ import annotations
@@ -29,6 +39,8 @@ from libsdr_tpu.core.cplx import Complex
 from libsdr_tpu.ops.channelizer import fold_commutator, prototype_lowpass
 from libsdr_tpu.ops.fft import fft
 from libsdr_tpu.parallel.halo import _tree_where, last_shard_tail, pass_right
+
+_LANES = 128
 
 
 def channelize_segment(x_local: Complex, hist: Complex, taps3: jnp.ndarray,
@@ -49,80 +61,147 @@ def channelize_segment(x_local: Complex, hist: Complex, taps3: jnp.ndarray,
     return y.map(lambda a: jnp.swapaxes(a, -1, -2))  # (..., M, t)
 
 
+def _prev_from_hist(histp1: Complex, taps3: jnp.ndarray, m: int,
+                    p: int) -> Complex:
+    """y (1, M) LANE-major of the single frame ``histp1[p]`` given its own
+    P-frame history ``histp1[:p]`` — i.e. the channelizer output of the
+    frame just before a device's segment, recomputed from the (P+1)-frame
+    halo.  Identical op sequence to :func:`channelize_segment` on a
+    one-frame segment, so on a deterministic backend it is bit-equal to the
+    neighbor's own last channelizer output."""
+    from libsdr_tpu.ops.pallas_pfb import channel_of_lane
+
+    acc = None
+    for k in range(p + 1):
+        seg = histp1[..., (p - k):(p - k) + 1, :]
+        term = seg * taps3[k]
+        acc = term if acc is None else acc + term
+    # Tile the single frame to 8 rows before the DFT: a 1-row fft lowers to
+    # a matvec whose reduction order differs from the multi-row matmul
+    # (measured: 8.6e-7 divergence on CPU), while any >=2-row shape is
+    # bitwise row-deterministic — the tile keeps the recomputed seed
+    # bit-equal to the neighbor's own channelizer output.
+    acc = acc.map(lambda a: jnp.broadcast_to(
+        a, a.shape[:-2] + (8, a.shape[-1])))
+    y = fft(acc)[..., 0:1, :]                    # (..., 1, M) channel-major
+    return y[..., channel_of_lane(m)]            # lane layout
+
+
+def _lane_to_channel_cols(a: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Reorder the LANE-permuted columns of a (..., t, M) array to channel
+    order (out[..., c] = a[..., lane_of_channel(m)[c]]).  The permutation
+    lane L = 128*(c % n2) + c//n2 is exactly a (n2, 128) -> (128, n2) axis
+    swap, so this lowers as one XLA transpose — no gather."""
+    if m <= _LANES:
+        return a
+    n2 = m // _LANES
+    lead = a.shape[:-1]
+    b = a.reshape(lead + (n2, _LANES))
+    b = jnp.swapaxes(b, -1, -2)
+    return b.reshape(lead + (m,))
+
+
 def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
-                        taps_per_branch: int = 8, axis: str = "d"):
+                        taps_per_branch: int = 8, axis: str = "d",
+                        gain: float = 1.0):
     """Build (step, init_carry, place_input) for the sharded wideband RX.
 
     ``step(carry, x)`` consumes a global (B,) complex block and returns the
     FM-demodulated (M, B/M) float32 channel bank, jit-compiled over the mesh
-    with shard_map.
+    with shard_map.  Every device runs the fused single-chip kernel path on
+    its segment (see module docstring).
     """
     n = int(mesh.devices.size)
     m, p = n_channels, taps_per_branch
+    _validate(block, m, n, p)
+    taps_np, taps = _taps(m, p)
+
+    def step_local(carry, x_local):
+        return _wideband_body(carry, x_local, taps_np, taps, m, p, n, axis,
+                              gain)
+
+    if n == 1:
+        body = step_local
+    else:
+        body = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(_carry_specs(axis), P(axis)),
+            out_specs=(_carry_specs(axis), P(None, axis)),
+            check_vma=False,
+        )
+
+    def step(carry, x):
+        carry, audio_cols = body(carry, x)        # (t_full, M or M/n local)
+        return carry, jnp.swapaxes(audio_cols, -1, -2)
+
+    init_carry, place_input = _wideband_carry_and_place(mesh, m, p, axis)
+    return jax.jit(step), init_carry, place_input
+
+
+def _validate(block: int, m: int, n: int, p: int) -> None:
     if block % (m * n):
         raise ValueError("block must divide by M * n_devices")
     if m % n:
         raise ValueError("channels must divide by n_devices")
-    if block // (m * n) < p:
+    if block // (m * n) < p + 1:
         raise ValueError(
-            "each device's segment must hold >= taps_per_branch frames "
-            f"(block // (M*n) = {block // (m * n)} < P = {p})")
+            "each device's segment must hold >= taps_per_branch + 1 frames "
+            f"(block // (M*n) = {block // (m * n)} < P + 1 = {p + 1})")
+
+
+def _taps(m: int, p: int):
     proto = prototype_lowpass(m, p)
-    taps = jnp.asarray(fold_commutator(proto, m, p))
-
-    def step_local(carry, x_local):
-        hist_global, prev_local = carry
-        new_hist, new_prev, audio = _wideband_body(
-            hist_global, prev_local, x_local, taps, m, p, n, axis)
-        return (new_hist, new_prev), audio
-
-    if n == 1:
-        step = jax.jit(step_local)
-    else:
-        step = jax.jit(jax.shard_map(
-            step_local, mesh=mesh,
-            in_specs=((P(), P(axis)), P(axis)),
-            out_specs=((P(), P(axis)), P(axis, None)),
-            check_vma=False,
-        ))
-
-    init_carry, place_input = _wideband_carry_and_place(mesh, m, p, axis)
-    return step, init_carry, place_input
+    taps_np = fold_commutator(proto, m, p)
+    return taps_np, jnp.asarray(taps_np)
 
 
-def _wideband_body(hist_global, prev_local, x_local, taps, m: int, p: int,
-                   n: int, axis: str):
-    """The shared per-device wideband stages:
+def _carry_specs(axis: str):
+    # (P+1)-frame history + y[-1] lane seed, both replicated (they describe
+    # the GLOBAL stream boundary; shard 0 consumes them).
+    return (P(), P())
 
-    1. time-sharded channelizer with a ppermute frame halo,
-    2. all_to_all reshard channels <-> time,
-    3. channel-sharded quadrature FM demod.
 
-    Returns (new_hist, new_prev, audio (M/n, t_full))."""
+def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
+                   axis: str, gain: float = 1.0):
+    """The unified per-device wideband stages:
+
+    1. ppermute (P+1)-frame halo; recompute the local discriminator seed
+       from it (shard 0 consumes the carried seed),
+    2. the SAME fused channelize+FM path as the single-chip op
+       (wideband_fm_local: Pallas kernel on TPU, XLA fallback elsewhere),
+    3. lane -> channel column reorder (one transpose) + all_to_all reshard
+       of the f32 audio: time-sharded -> channel-sharded.
+
+    carry = (histp1 (P+1, M) raw frames, prev (1, M) lane y seed), both
+    global-stream state.  Returns (new_carry, audio (t_full, M/n local))."""
+    from libsdr_tpu.ops.wideband_rx import wideband_fm_local
+
+    histp1_g, prev_g = carry
     t_seg = x_local.shape[-1] // m
     frames_local = x_local.reshape((t_seg, m))
-    tail_frames = frames_local[t_seg - p:, :]
+    tail = frames_local[t_seg - (p + 1):, :]
     if n == 1:
         # Collectives on a 1-device mesh are identities, but this backend
         # lowers them (ppermute/all_to_all inside shard_map) to paths ~6x
         # slower than the op itself — skip them statically.
-        hist = hist_global
-        new_hist = tail_frames
+        histp1 = histp1_g
+        prev = prev_g
+        new_hist = tail
     else:
         idx = jax.lax.axis_index(axis)
-        halo = pass_right(tail_frames, axis)
-        hist = _tree_where(idx == 0, hist_global, halo)
-        new_hist = last_shard_tail(tail_frames, axis)
-    y = channelize_segment(x_local, hist, taps, m, p)       # (M, t_seg)
+        halo = pass_right(tail, axis)
+        histp1 = _tree_where(idx == 0, histp1_g, halo)
+        prev = _tree_where(idx == 0, prev_g,
+                           _prev_from_hist(histp1, taps, m, p))
+        new_hist = last_shard_tail(tail, axis)
+    audio_lane, y_last = wideband_fm_local(
+        x_local, histp1[..., 1:, :], prev, taps_np, taps, m, p, gain=gain)
+    new_prev = y_last if n == 1 else last_shard_tail(y_last, axis)
+    audio_cols = _lane_to_channel_cols(audio_lane, m)   # (t_seg, M)
     if n > 1:
-        def a2a(a):
-            return jax.lax.all_to_all(a, axis, split_axis=0,
-                                      concat_axis=1, tiled=True)
-        y = y.map(a2a)                                      # (M/n, t_full)
-    shifted = cplx.concatenate([prev_local[..., None], y[..., :-1]],
-                               axis=-1)
-    audio = (y * shifted.conj()).angle()
-    return new_hist, y[..., -1], audio
+        audio_cols = jax.lax.all_to_all(audio_cols, axis, split_axis=1,
+                                        concat_axis=0, tiled=True)
+    return (new_hist, new_prev), audio_cols             # (t_full, M/n)
 
 
 def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
@@ -135,10 +214,10 @@ def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
 
     def init_carry():
         hist = jax.tree_util.tree_map(
-            lambda a: place_global(a, mesh, P()), cplx.zeros((p, m)))
+            lambda a: place_global(a, mesh, P()), cplx.zeros((p + 1, m)))
         prev = jax.tree_util.tree_map(
-            lambda a: place_global(a, mesh, P(axis)),
-            cplx.full_like_phasor((m,)))
+            lambda a: place_global(a, mesh, P()),
+            cplx.full_like_phasor((1, m)))
         return (hist, prev)
 
     def place_input(x):
@@ -152,16 +231,18 @@ def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
 def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
                        fs_hz: float, taps_per_branch: int = 8,
                        baud: float = 1200.0, axis: str = "d"):
-    """Sharded whole-band pager scanner: the wideband stages (time-sharded
-    channelizer -> all_to_all reshard -> channel-sharded FM demod) extended
-    with the ASK detector and bit-sync PLL.  After the reshard each device
-    owns M/n channels over the FULL block, so the per-channel sequential PLL
-    scan is device-local — this is exactly why the reshard sits where it
-    does (the PLL cannot scan across a time-sharded axis).
+    """Sharded whole-band pager scanner: the unified wideband stages (fused
+    time-sharded channelize+FM -> all_to_all audio reshard) extended with
+    the ASK detector and bit-sync PLL, all in the kernel's natural
+    TIME-major layout.  After the reshard each device owns M/n channels
+    over the FULL block, so the per-channel sequential PLL runs
+    device-local — on TPU via the Pallas bit-sync kernel
+    (ops/pallas_bitsync.py) whenever the local channel count fills whole
+    128-lane rows.
 
     ``step(carry, x)`` consumes a global (B,) complex block and returns a
-    Ragged (M, B/M) uint8 bit stream — compact each channel's row and feed
-    it to decode.pocsag_decode_bits.
+    Ragged (M, B/M) uint8 bit stream (rows = channels, channel-major) —
+    compact each channel's row and feed it to decode.pocsag_decode_bits.
     """
     from libsdr_tpu import StreamSpec
     from libsdr_tpu.core.ragged import Ragged
@@ -169,93 +250,60 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
 
     n = int(mesh.devices.size)
     m, p = n_channels, taps_per_branch
-    if block % (m * n) or m % n:
-        raise ValueError("need block % (M*n) == 0 and M % n == 0")
-    if block // (m * n) < p:
-        raise ValueError(
-            "each device's segment must hold >= taps_per_branch frames "
-            f"(block // (M*n) = {block // (m * n)} < P = {p})")
-    proto = prototype_lowpass(m, p)
-    taps = jnp.asarray(fold_commutator(proto, m, p))
+    _validate(block, m, n, p)
+    taps_np, taps = _taps(m, p)
     t_full = block // m
     ch_rate = fs_hz / m
+    g = m // n                       # channels per device after the reshard
 
-    if n == 1:
-        # Single-chip fast path: the fused PFB+FM Pallas kernel feeds the
-        # bit chain in its natural TIME-major lane layout (no transposes
-        # until the final ragged-bit regather to the (M, T) contract).  On
-        # non-TPU backends WidebandFM's XLA fallback computes the same
-        # values, so outputs are identical to the sharded path.
-        from libsdr_tpu.ops.wideband_rx import WidebandFM
-
-        wb = WidebandFM(m, p, gain=1.0, layout="lane")
-        wb.bind(StreamSpec(np.complex64, fs_hz, block))
-        ask_t = ASKDetector(invert=True)
-        bs_t = BitStream(baud, mode="normal", time_major=True)
-        spec_t = StreamSpec(np.float32, ch_rate, t_full, channels=(m,))
-        bs_t.bind(ask_t.bind(spec_t))
-        lane = wb.lane_of_channel
-
-        def step_fused(carry, x_local):
-            wbc, bsc = carry
-            wbc, audio = wb.apply(wbc, x_local)        # (T, M) lane-major
-            _, sym = ask_t.apply(None, audio)
-            bsc, bits = bs_t.apply(bsc, sym)
-            data = jnp.swapaxes(bits.data[..., lane], -1, -2)
-            valid = jnp.swapaxes(bits.valid[..., lane], -1, -2)
-            return (wbc, bsc), Ragged(data, valid)
-
-        def init_carry_fused():
-            return (wb.init_carry(), bs_t.init_carry())
-
-        return (jax.jit(step_fused), init_carry_fused,
-                lambda x: cplx.as_block(x))
-
-    # Two bindings of the bit chain: LOCAL (per-device channel count) for
-    # the shard_map body, GLOBAL (all M channels) for carry construction.
+    # The bit chain runs time-major on the device-local channel group; a
+    # GLOBAL binding builds the carry pytree (per-channel leaves sharded).
     def make_chain(nch):
         ask = ASKDetector(invert=True)
-        bs = BitStream(baud, mode="normal")
+        bs = BitStream(baud, mode="normal", time_major=True)
         spec = StreamSpec(np.float32, ch_rate, t_full, channels=(nch,))
         bs.bind(ask.bind(spec))
         return ask, bs
 
-    ask_l, bs_l = make_chain(m // n)
+    ask_l, bs_l = make_chain(g)
     _, bs_g = make_chain(m)
 
     def step_local(carry, x_local):
-        hist_global, prev_local, bsc = carry
-        new_hist, new_prev, audio = _wideband_body(
-            hist_global, prev_local, x_local, taps, m, p, n, axis)
-        _, sym = ask_l.apply(None, audio)
+        wb_carry, bsc = carry
+        wb_carry, audio_cols = _wideband_body(
+            wb_carry, x_local, taps_np, taps, m, p, n, axis)
+        # audio_cols: (t_full, g) time-major, channel-ordered columns —
+        # exactly the bit chain's time_major layout.
+        _, sym = ask_l.apply(None, audio_cols)
         bsc, bits = bs_l.apply(bsc, sym)
-        return (new_hist, new_prev, bsc), bits
+        # (M, T) channel-major Ragged contract.
+        return (wb_carry, bsc), Ragged(
+            jnp.swapaxes(bits.data, -1, -2),
+            jnp.swapaxes(bits.valid, -1, -2))
 
-    # (n == 1 returned above with the fused single-chip path.)
-    # Derive the BitStream carry spec from its own pytree (scalars
-    # replicated, per-channel leaves sharded on the channel axis) so the
-    # scanner never restates bitsync.py's internal state fields.
-    def leaf_spec(v):
-        return P() if np.ndim(v) == 0 else P(
-            axis, *([None] * (np.ndim(v) - 1)))
-    bs_carry_spec = jax.tree_util.tree_map(leaf_spec, bs_g.init_carry())
-    step = jax.jit(jax.shard_map(
-        step_local, mesh=mesh,
-        in_specs=((P(), P(axis), bs_carry_spec), P(axis)),
-        out_specs=((P(), P(axis), bs_carry_spec),
-                   Ragged(P(axis, None), P(axis, None))),
-        check_vma=False,
-    ))
+    if n == 1:
+        step = jax.jit(step_local)
+    else:
+        def leaf_spec(v):
+            return P() if np.ndim(v) == 0 else P(
+                axis, *([None] * (np.ndim(v) - 1)))
+        bs_carry_spec = jax.tree_util.tree_map(leaf_spec, bs_g.init_carry())
+        step = jax.jit(jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=((_carry_specs(axis), bs_carry_spec), P(axis)),
+            out_specs=((_carry_specs(axis), bs_carry_spec),
+                       Ragged(P(axis, None), P(axis, None))),
+            check_vma=False,
+        ))
 
     wb_init, place_input = _wideband_carry_and_place(mesh, m, p, axis)
 
     def init_carry():
         from libsdr_tpu.parallel.distributed import place_global
-        hist, prev = wb_init()
         bsc = jax.tree_util.tree_map(
             lambda v: place_global(
                 v, mesh, P() if v.ndim == 0 else P(axis)),
             bs_g.init_carry())
-        return (hist, prev, bsc)
+        return (wb_init(), bsc)
 
     return step, init_carry, place_input

@@ -219,6 +219,72 @@ def test_wideband_scanner(tmp_path):
         assert found[ch][0].as_text().startswith(text)
 
 
+def test_multimode_bank(tmp_path):
+    """BASELINE config 4: ONE channelizer front end feeding a per-channel
+    mix of POCSAG / AFSK-AX.25 / RTTY / PSK31 decoders — a TX-synthesized
+    mixed band decodes all four modes in one run."""
+    from libsdr_tpu.apps import multimode
+    from libsdr_tpu.apps.tx import _nrzi
+    from libsdr_tpu.decode import (ax25_frame_bits, baudot_encode_bits,
+                                   varicode_encode_bits)
+
+    m = 8
+    ch_bw = 24_000.0
+    fs = m * ch_bw                      # 192 kHz wideband
+
+    # Narrowband signals, each synthesized at the channel rate.
+    narrows = {}
+    narrows[2] = ("pocsag", _pocsag_iq(ch_bw, text="MIXED BAND", address=99))
+    frame = ax25_frame_bits("K3MM", "APRS",
+                            b"!4903.50N/07201.75W-multimode", n_flags=50)
+    afsk_audio = siggen.fsk_modulate(ch_bw, _nrzi(frame), 1200.0 * 1.0017,
+                                     1200.0, 2200.0).real
+    narrows[3] = ("ax25", siggen.fm_modulate(ch_bw, 0.8 * afsk_audio,
+                                             deviation=3000.0))
+    half_bits = baudot_encode_bits("RY MULTI", stop_bits="1.5")
+    narrows[5] = ("rtty", siggen.fsk_modulate(ch_bw, half_bits, 2 * 45.45,
+                                              930.0, 1100.0))
+    vbits = np.concatenate([np.ones(24, np.uint8),
+                            varicode_encode_bits("cq tpu"),
+                            np.ones(24, np.uint8)])
+    spb = int(round(ch_bw / 31.25))
+    ph, phases = 0.0, []
+    for b in vbits:
+        if b == 0:
+            ph += np.pi
+        phases.append(ph)
+    narrows[6] = ("psk31",
+                  np.exp(1j * np.repeat(phases, spb)).astype(np.complex64))
+
+    n = int(fs * (max(len(s) for _, s in narrows.values()) / ch_bw + 0.3))
+    t = np.arange(n) / fs
+    wide = np.zeros(n, np.complex64)
+    for ch, (_, narrow) in narrows.items():
+        idx = np.minimum((np.arange(n) / m).astype(np.int64),
+                         len(narrow) - 1)
+        pad = np.asarray(narrow, np.complex64)[idx]
+        # silence past the end of the source signal
+        pad[idx >= len(narrow) - 1] = 0
+        f_c = ch * fs / m if ch <= m // 2 else ch * fs / m - fs
+        wide += (0.5 * pad * np.exp(2j * np.pi * f_c * t)
+                 ).astype(np.complex64)
+
+    mode_map = {ch: mode for ch, (mode, _) in narrows.items()}
+    found = multimode.scan_multimode(wide, fs, m, mode_map)
+
+    assert 2 in found and found[2][0] == "pocsag"
+    msgs = found[2][1]
+    assert msgs[0].address == 99 and msgs[0].as_text().startswith("MIXED")
+    assert 3 in found and found[3][0] == "ax25"
+    frames = found[3][1]
+    assert frames and frames[0][0].frm.call == "K3MM"
+    assert frames[0][1] is not None          # APRS position parsed
+    assert 5 in found and found[5][0] == "rtty"
+    assert "MULTI" in found[5][1]
+    assert 6 in found and found[6][0] == "psk31"
+    assert "cq tpu" in found[6][1]
+
+
 def test_tx_loopback(tmp_path):
     """The transmitter CLI's captures decode through the matching receivers
     (full TX -> RX loopback for every mode)."""

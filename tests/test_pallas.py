@@ -449,3 +449,39 @@ def test_pallas_bitsync_kernel_matches_scan(rng):
                                   np.asarray((out & 2) != 0))
         for k in c:
             assert np.array_equal(np.asarray(c[k]), np.asarray(ck[k])), k
+
+
+def test_bitsync_kernel_lane_padding_matches_scan(rng):
+    """A narrow bank (64 < 128 lanes) reaches the kernel via zero-lane
+    padding (ops/bitsync.py) and stays bit-exact vs the scan path,
+    including carried state across blocks."""
+    import jax.numpy as jnp
+
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops.bitsync import BitStream
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    T, M, L = 512, 64, 20
+    blocks = [rng.integers(0, 2, size=(T, M)).astype(np.uint8)
+              for _ in range(2)]
+    for mode in ("normal", "transition"):
+        outs = {}
+        for path in ("scan", "kernel"):
+            bs = BitStream(1200.0, mode=mode, time_major=True)
+            bs.bind(StreamSpec(np.uint8, 1200.0 * L, T, channels=(M,)))
+            c = bs.init_carry()
+            got = []
+            for blk in blocks:
+                if path == "kernel":
+                    with kernel_mode("interpret"):
+                        c, r = bs.apply(c, jnp.asarray(blk))
+                else:
+                    c, r = bs.apply(c, jnp.asarray(blk))
+                got.append((np.asarray(r.data), np.asarray(r.valid)))
+            outs[path] = (got, {k: np.asarray(v) for k, v in c.items()})
+        for (da, va), (db, vb) in zip(outs["scan"][0], outs["kernel"][0]):
+            np.testing.assert_array_equal(da, db)
+            np.testing.assert_array_equal(va, vb)
+        for k in outs["scan"][1]:
+            np.testing.assert_array_equal(outs["scan"][1][k],
+                                          outs["kernel"][1][k]), k

@@ -102,6 +102,29 @@ def test_pfb_kernel_streaming_equals_oneshot(rng):
     np.testing.assert_allclose(got, one, atol=1e-6)
 
 
+def test_fusion_bind_fallback_small_block():
+    """Channelizer->FMDemod fusion tightens the bind constraint (WidebandFM
+    needs block >= M*P); a block that bound fine unfused must still bind —
+    the pipeline restores the unfused pair (core/graph.py ConfigError
+    fallback)."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import Channelizer, FMDemod
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    m = 16
+    with kernel_mode("interpret"):       # fusion pass engages off-TPU
+        p = Pipeline([Channelizer(m), FMDemod()])
+        p.bind(StreamSpec(np.complex64, m * 25_000.0, m * 4))  # 4 < P = 8
+    assert [type(s).__name__ for s in p.stages] == \
+        ["Channelizer", "FMDemod"]
+    assert p.out_spec.block_size == 4
+
+    with kernel_mode("interpret"):       # big enough: the fusion holds
+        p2 = Pipeline([Channelizer(m), FMDemod()])
+        p2.bind(StreamSpec(np.complex64, m * 25_000.0, m * 16))
+    assert [type(s).__name__ for s in p2.stages] == ["WidebandFM"]
+
+
 def test_widebandfm_matches_unfused_pipeline(rng):
     """WidebandFM (XLA fallback on CPU, layout='channel') streams
     identically to [Channelizer -> FMDemod] over multiple blocks."""

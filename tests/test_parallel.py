@@ -124,7 +124,7 @@ def test_wideband_matches_local_channelizer(rng):
     """Bit-level check of the sharded channelizer stage vs the Processor."""
     mesh = _mesh1d()
     m, p = 8, 8
-    b = 8 * m * N_DEV
+    b = 16 * m * N_DEV  # 16 frames/device (the halo needs P+1 = 9)
     fs = 64000.0
     x = (rng.normal(size=(2 * b,)) + 1j * rng.normal(size=(2 * b,))
          ).astype(np.complex64)
@@ -149,6 +149,128 @@ def test_wideband_matches_local_channelizer(rng):
         want.append(np.asarray(ya))
     want = np.concatenate(want, axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_wideband_shard_map_runs_real_kernel_interpret():
+    """The n=8 shard_map body executes the REAL fused PFB+FM Pallas kernel
+    (interpret mode) inside a multi-device program — the single-chip fast
+    path and the multi-chip path are the same program.  Audio matches the
+    n=1 kernel run up to kernel matmul precision (wrap-aware: the angle
+    branch cut can flip on near-pi samples under 1e-5 perturbations)."""
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    m, p, n_dev = 128, 8, 8
+    block = m * n_dev * 16          # 16 frames per device segment
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=block) + 1j * rng.normal(size=block)
+         ).astype(np.complex64) * 0.5
+
+    outs = {}
+    for n in (1, n_dev):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+        with kernel_mode("interpret"):
+            step, init_carry, place = build_wideband_step(mesh, m, block)
+            c = init_carry()
+            c, y = step(c, place(x))
+            outs[n] = np.asarray(y)
+    d = outs[1] - outs[n_dev]
+    d = (d + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(d).max() < 1e-2, np.abs(d).max()
+    assert np.median(np.abs(d)) < 1e-4
+
+
+def test_wideband_multidevice_bitexact_fallback():
+    """n=8 vs n=1 on the asserted-identical XLA fallback path: bit-exact
+    (covers the halo, the recomputed discriminator seed, and the
+    lane->channel reorder + all_to_all reshard)."""
+    m, n_dev = 16, 8
+    block = m * n_dev * 16
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=(2 * block,)) + 1j * rng.normal(size=(2 * block,))
+         ).astype(np.complex64)
+
+    outs = {}
+    for n in (1, n_dev):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+        step, init_carry, place = build_wideband_step(mesh, m, block)
+        c = init_carry()
+        got = []
+        for i in range(2):
+            c, y = step(c, place(x[i * block:(i + 1) * block]))
+            got.append(np.asarray(y))
+        outs[n] = np.concatenate(got, axis=-1)
+    np.testing.assert_array_equal(outs[1], outs[n_dev])
+
+
+def _collective_inventory(compiled_text):
+    """Parse collective defs from optimized HLO: [(op, out_bytes)]."""
+    import re
+
+    sizes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "s8": 1, "u8": 1,
+             "pred": 1, "f64": 8}
+    out = []
+    for line in compiled_text.splitlines():
+        mo = re.search(r"=\s+(\w+)\[([\d,]*)\][^=]*"
+                       r"\b(all-to-all|collective-permute|all-gather|"
+                       r"all-reduce|reduce-scatter)\(", line)
+        if mo and "get-tuple" not in line:
+            dt, dims, op = mo.group(1), mo.group(2), mo.group(3)
+            n = int(np.prod([int(d) for d in dims.split(",") if d] or [1]))
+            out.append((op, n * sizes.get(dt, 4)))
+        elif re.search(r"=\s+\(.*\)\s+(all-to-all|all-reduce)\(", line):
+            # tuple-shaped collective (one per-plane operand group)
+            op = re.search(r"(all-to-all|all-reduce)\(", line).group(1)
+            out.append((op, None))
+    return out
+
+
+def test_hot_path_collective_inventory():
+    """Hardware-free scale-out evidence: the compiled 8-device wideband and
+    scanner steps carry EXACTLY the designed collectives on the hot path —
+    one all_to_all of the decimated audio, one ppermute halo per complex
+    plane, and small-state all-gathers only (carry tails, <1% of the block
+    bytes).  No all-reduce, no bulk-data all-gather: nothing re-replicates
+    the wideband stream, so per-chip work stays 1/n of the block and the
+    ICI carries ~1x the (decimated) audio bytes per step — the structural
+    basis of the >=0.9 scaling-efficiency target (DEPLOYMENT.md roofline)."""
+    from libsdr_tpu.parallel.wideband import build_scanner_step
+
+    m, n, p = 16, 8, 8
+    block = m * n * 16
+    block_bytes = block * 8
+    # All-gathers may only move carry-scale state: the (P+1)-frame tail and
+    # the (1, M) discriminator seed, each gathered across n devices per
+    # plane — BLOCK-INDEPENDENT, so at production block sizes (2^24) they
+    # are <0.01% of the stream.  Anything block-proportional would show up
+    # as >> this bound.
+    carry_bound = n * (p + 2) * m * 4 * 2
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+
+    step, init_carry, place = build_wideband_step(mesh, m, block)
+    x = place(np.zeros(block, np.complex64))
+    txt = step.lower(init_carry(), x).compile().as_text()
+    inv = _collective_inventory(txt)
+    by_op = {}
+    for op, nbytes in inv:
+        by_op.setdefault(op, []).append(nbytes)
+    assert len(by_op.get("all-to-all", [])) == 1, inv
+    assert len(by_op.get("collective-permute", [])) == 2, inv  # halo planes
+    assert "all-reduce" not in by_op, inv
+    for nbytes in by_op.get("all-gather", []):
+        assert nbytes is not None and nbytes <= carry_bound, inv
+
+    sstep, sinit, splace = build_scanner_step(mesh, m, block, m * 25_000.0)
+    txt = sstep.lower(sinit(), splace(np.zeros(block, np.complex64))
+                      ).compile().as_text()
+    inv = _collective_inventory(txt)
+    by_op = {}
+    for op, nbytes in inv:
+        by_op.setdefault(op, []).append(nbytes)
+    assert len(by_op.get("all-to-all", [])) == 1, inv
+    assert len(by_op.get("collective-permute", [])) == 2, inv
+    assert "all-reduce" not in by_op, inv
+    for nbytes in by_op.get("all-gather", []):
+        assert nbytes is not None and nbytes <= carry_bound, inv
 
 
 def test_sharded_scanner_matches_single_device():
