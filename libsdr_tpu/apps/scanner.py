@@ -37,56 +37,70 @@ def scanner_pipeline(fs: float, block: int, n_channels: int,
     return p
 
 
+def pick_block(fs: float, n_channels: int, block: int = None) -> int:
+    block = int(fs // 2) if block is None else int(block)
+    block -= block % (n_channels * 16)
+    if block <= 0:
+        raise SystemExit("block too small for the channel count")
+    return block
+
+
+def scan_blocks(blocks, fs: float, n_channels: int, block: int,
+                baud: float = 1200.0, plane_dtype=None):
+    """Core scanner loop over an iterable of (block,)-sized IQ blocks
+    (numpy complex or planar Complex, e.g. bf16 planes straight off the
+    u8 wire via io.ingest.stream_raw_iq_bf16).  Returns
+    {channel_index: [POCSAGMessage, ...]}."""
+    import math
+
+    import jax
+    from jax.sharding import Mesh
+    from libsdr_tpu.parallel.wideband import build_scanner_step
+
+    m = n_channels
+    t_full = block // m
+    # Windowed on-device bit compaction: the PLL emits bits at least
+    # ~fs_ch/baud samples apart, so a window up to that gap is a LOSSLESS
+    # T/w decimation of the bit stream — no scatter, no capacity to size
+    # (and no overflow to detect).  Largest power-of-two window that
+    # divides T and respects the gap.
+    gap = int(math.ceil(1.0 / ((baud / (fs / m)) * 1.005)))
+    w = 0
+    for cand in (64, 32, 16, 8, 4, 2):
+        if t_full % cand == 0 and cand <= gap:
+            w = cand
+            break
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
+    sstep, sinit, splace = build_scanner_step(mesh, m, block, fs, baud=baud,
+                                              compact_window=w,
+                                              plane_dtype=plane_dtype)
+    carry = sinit()
+    datas, valids = [], []
+    for blk in blocks:
+        carry, y = sstep(carry, splace(blk))
+        datas.append(np.asarray(y.data))
+        valids.append(np.asarray(y.valid))
+    data = np.concatenate(datas, axis=-1)
+    valid = np.concatenate(valids, axis=-1)
+    found = {}
+    for ch in range(m):
+        msgs = pocsag_decode_bits(data[ch][valid[ch]])
+        if msgs:
+            found[ch] = msgs
+    return found
+
+
 def scan(iq: np.ndarray, fs: float, n_channels: int, block: int = None,
          baud: float = 1200.0):
     """Decode every channel of a wideband capture; returns
     {channel_index: [POCSAGMessage, ...]} for channels with traffic.
 
     Uses the fused single-chip scanner path (Pallas PFB+FM kernel ->
-    time-major bit chain, parallel/wideband.py) with on-device bit
-    compaction before readback."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh
-    from libsdr_tpu.core.ragged import compact_device
-    from libsdr_tpu.parallel.wideband import build_scanner_step
-
-    m = n_channels
-    if block is None:
-        block = int(fs // 2)
-    block -= block % (m * 16)
-    if block <= 0:
-        raise SystemExit("block too small for the channel count")
-    mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
-    sstep, sinit, splace = build_scanner_step(mesh, m, block, fs, baud=baud)
-    cap = int(block / m / (fs / m) * baud * 1.3) + 16
-
-    def step(c, x):
-        c, y = sstep(c, x)
-        d, k = compact_device(y, cap)
-        return c, (d, k)
-
-    step = jax.jit(step)
-    carry = sinit()
-    datas, counts = [], []
-    for blk in stream_blocks(iq, block):
-        carry, (d, k) = step(carry, splace(blk))
-        datas.append(np.asarray(d))
-        counts.append(np.asarray(k))
-    overflow = max(int(k.max()) for k in counts) - cap
-    if overflow > 0:
-        sdrlog.get_logger("scanner").warning(
-            "compact_device capacity overflow: a channel produced %d bits "
-            "over the %d cap this block — raise the cap margin", overflow,
-            cap)
-    found = {}
-    for ch in range(m):
-        bits = np.concatenate([d[ch, :min(k[ch], cap)]
-                               for d, k in zip(datas, counts)])
-        msgs = pocsag_decode_bits(bits)
-        if msgs:
-            found[ch] = msgs
-    return found
+    lane-major bit chain -> windowed on-device bit compaction,
+    parallel/wideband.py)."""
+    block = pick_block(fs, n_channels, block)
+    return scan_blocks(stream_blocks(iq, block), fs, n_channels, block,
+                       baud=baud)
 
 
 def main(argv=None):
@@ -95,13 +109,32 @@ def main(argv=None):
     ap.add_argument("--channels", type=int, default=64,
                     help="uniform channels across the capture bandwidth")
     ap.add_argument("--baud", type=float, default=1200.0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="stream the u8 wire format as bfloat16 planes "
+                         "straight into the PFB kernel — lossless for "
+                         "8-bit sources, halves ingest+HBM traffic "
+                         "(--raw uint8 sources only)")
     args = ap.parse_args(argv)
     sdrlog.set_level(args.log_level)
 
-    iq, fs = load_source(args)
-    if not np.iscomplexobj(iq):
-        raise SystemExit("scanner expects an IQ capture")
-    found = scan(iq, fs, args.channels, baud=args.baud)
+    if args.bf16:
+        if not args.raw or np.dtype(args.raw_dtype) != np.uint8:
+            raise SystemExit("--bf16 needs a --raw uint8 (rtl_sdr wire) "
+                             "source")
+        if not args.rate:
+            raise SystemExit("--raw requires --rate")
+        from libsdr_tpu.io.ingest import stream_raw_iq_bf16
+        import jax.numpy as jnp
+        fs = args.rate
+        block = pick_block(fs, args.channels)
+        found = scan_blocks(stream_raw_iq_bf16(args.raw, block), fs,
+                            args.channels, block, baud=args.baud,
+                            plane_dtype=jnp.bfloat16)
+    else:
+        iq, fs = load_source(args)
+        if not np.iscomplexobj(iq):
+            raise SystemExit("scanner expects an IQ capture")
+        found = scan(iq, fs, args.channels, baud=args.baud)
     m = args.channels
     for ch in sorted(found):
         f_center = ch * fs / m

@@ -39,6 +39,8 @@ class Pipeline(Processor):
         self.optimize = optimize
         self._step = None
         self._step_donate = None
+        self._step_chunked = None
+        self._step_chunked_k = None
 
     # -- spec propagation (the "Config propagation" pass) ---------------------
 
@@ -48,6 +50,7 @@ class Pipeline(Processor):
         # in, so it must be invalidated (retune contract: set_freq/set_band
         # then re-bind + compile).
         self._step = None
+        self._step_chunked = None
         orig = list(self.stages)
         if self.optimize:
             from libsdr_tpu.core.fuse import fuse_stages
@@ -104,6 +107,28 @@ class Pipeline(Processor):
                                  donate_argnums=donate)
             self._step_donate = donate_carry
         return self._step
+
+    def compile_chunked(self, k: int):
+        """Jitted ``step(carry, xs) -> (carry, ys)`` over K STACKED blocks
+        (leading axis K) via ``lax.scan`` — ONE device dispatch processes K
+        pipeline blocks.
+
+        Why: every dispatch through a slow host link pays a fixed ~2 ms
+        launch floor (measured on this environment's tunnel); a streaming
+        config with 4-MB blocks loses ~3x of the kernel rate to it.
+        Chaining K blocks per dispatch amortizes the floor K-fold at a
+        latency cost of K blocks.  For BIG blocks (>= ~128 MB) prefer K=1:
+        the scan's per-step dynamic-slice/stack copies grow with block
+        size (~2.6 ms per 128 MB step) and dispatch is already amortized.
+        """
+        k = int(k)
+        if self._step_chunked is None or self._step_chunked_k != k:
+            # Fresh lambda per compile (see compile()).
+            self._step_chunked = jax.jit(
+                lambda carry, xs: jax.lax.scan(
+                    lambda c, x: self.apply(c, x), carry, xs))
+            self._step_chunked_k = k
+        return self._step_chunked
 
     def switch_stages(self, new_stages: Sequence[Processor], old_carry):
         """Live restructuring of a BOUND pipeline mid-stream — the analog of

@@ -47,7 +47,8 @@ def run_pipeline(pipeline: Pipeline,
                  sink: Optional[Callable[[np.ndarray], None]] = None,
                  carry: Any = None,
                  collect: bool = True,
-                 device=None):
+                 device=None,
+                 chunks_per_dispatch: int = 1):
     """Drive ``pipeline`` over an iterable of input blocks.
 
     Args:
@@ -58,19 +59,26 @@ def run_pipeline(pipeline: Pipeline,
       carry: initial carry; defaults to ``pipeline.init_carry()``.
       collect: if True, concatenate and return all outputs along time.
       device: optional jax device for explicit placement.
+      chunks_per_dispatch: stack K consecutive blocks into ONE device
+        dispatch (a ``lax.scan`` over the carry) — amortizes the fixed
+        per-dispatch launch cost for small/streaming blocks at a latency
+        budget of K blocks (see Pipeline.compile_chunked).  A trailing
+        group of fewer than K blocks runs through the regular step.
 
     Returns:
       (carry, outputs) where outputs is the concatenated output array if
       ``collect`` else None.
     """
+    k = int(chunks_per_dispatch)
     step = pipeline.compile()
+    stepk = pipeline.compile_chunked(k) if k > 1 else None
     if carry is None:
         carry = pipeline.init_carry()
     ragged = pipeline.out_spec.ragged if pipeline.is_bound else False
     outs = []
     pending = []  # keep a small window of in-flight device results
 
-    def drain(y):
+    def drain(y, stacked=False):
         if ragged:
             # Variable-rate decoder streams (bit-sync output): hand the
             # host-side Ragged block through; the collected result is
@@ -79,22 +87,47 @@ def run_pipeline(pipeline: Pipeline,
             y = Ragged(np.asarray(y.data), np.asarray(y.valid))
         else:
             y = cplx.to_numpy(y)  # complex streams come back planar
-        if sink is not None:
-            sink(y)
-        if collect:
-            outs.append(y)
+        pieces = list(_unstack(y, ragged)) if stacked else [y]
+        for p in pieces:
+            if sink is not None:
+                sink(p)
+            if collect:
+                outs.append(p)
 
-    for blk in blocks:
-        x = cplx.as_block(blk)
+    def _unstack(y, is_ragged):
+        if is_ragged:
+            from libsdr_tpu.core.ragged import Ragged
+            for i in range(y.data.shape[0]):
+                yield Ragged(y.data[i], y.valid[i])
+        else:
+            for i in range(y.shape[0]):
+                yield y[i]
+
+    def dispatch(x, use_k):
+        nonlocal carry
         if device is not None:
             x = jax.device_put(x, device)
-        carry, y = step(carry, x)
-        pending.append(y)
-        # Bound host-side queue depth to 2 in-flight blocks (double buffer).
+        carry, y = (stepk if use_k else step)(carry, x)
+        pending.append((y, use_k))
+        # Bound host-side queue depth to 2 in-flight dispatches.
         if len(pending) > 2:
-            drain(pending.pop(0))
-    for y in pending:
-        drain(y)
+            drain(*pending.pop(0))
+
+    group = []
+    for blk in blocks:
+        x = cplx.as_block(blk)
+        if k > 1:
+            group.append(x)
+            if len(group) == k:
+                dispatch(jax.tree_util.tree_map(
+                    lambda *a: jnp.stack(a), *group), True)
+                group = []
+        else:
+            dispatch(x, False)
+    for x in group:                    # trailing partial group
+        dispatch(x, False)
+    for y, stacked in pending:
+        drain(y, stacked)
     if not (collect and outs):
         return carry, None
     if ragged:

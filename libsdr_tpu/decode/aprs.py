@@ -142,7 +142,12 @@ def _read_time(r: _Reader, now: datetime.datetime) -> Optional[datetime.datetime
             if d2 is None:
                 return None
             d = (ord(k) - 0x30) * 10 + d2
-            return now.replace(month=a, day=b, hour=c, minute=d)
+            # Reference QUIRK (src/aprs.cc:306-316): the MDHM month digits
+            # are stored into the 0-BASED tm_mon directly, so payload "08"
+            # parses as September; mktime normalizes month 12 into January
+            # of the next year.  Replicated for golden parity.
+            return now.replace(year=now.year + a // 12, month=a % 12 + 1,
+                               day=b, hour=c, minute=d)
     except ValueError:
         return None
     return None

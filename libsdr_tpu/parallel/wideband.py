@@ -103,7 +103,7 @@ def _lane_to_channel_cols(a: jnp.ndarray, m: int) -> jnp.ndarray:
 
 def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
                         taps_per_branch: int = 8, axis: str = "d",
-                        gain: float = 1.0):
+                        gain: float = 1.0, plane_dtype=None):
     """Build (step, init_carry, place_input) for the sharded wideband RX.
 
     ``step(carry, x)`` consumes a global (B,) complex block and returns the
@@ -134,7 +134,8 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
         carry, audio_cols = body(carry, x)        # (t_full, M or M/n local)
         return carry, jnp.swapaxes(audio_cols, -1, -2)
 
-    init_carry, place_input = _wideband_carry_and_place(mesh, m, p, axis)
+    init_carry, place_input = _wideband_carry_and_place(
+        mesh, m, p, axis, plane_dtype)
     return jax.jit(step), init_carry, place_input
 
 
@@ -162,7 +163,7 @@ def _carry_specs(axis: str):
 
 
 def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
-                   axis: str, gain: float = 1.0):
+                   axis: str, gain: float = 1.0, reorder: bool = True):
     """The unified per-device wideband stages:
 
     1. ppermute (P+1)-frame halo; recompute the local discriminator seed
@@ -170,10 +171,16 @@ def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
     2. the SAME fused channelize+FM path as the single-chip op
        (wideband_fm_local: Pallas kernel on TPU, XLA fallback elsewhere),
     3. lane -> channel column reorder (one transpose) + all_to_all reshard
-       of the f32 audio: time-sharded -> channel-sharded.
+       of the f32 audio: time-sharded -> channel-sharded.  For n == 1 the
+       reorder is a pure column permutation, so callers whose downstream
+       chain is lane-parallel (the scanner bit chain) pass
+       ``reorder=False`` and permute the (decimated) RESULT instead —
+       skipping a full (T, M) f32 pass.
 
     carry = (histp1 (P+1, M) raw frames, prev (1, M) lane y seed), both
-    global-stream state.  Returns (new_carry, audio (t_full, M/n local))."""
+    global-stream state.  Returns (new_carry, audio): (t_full, M/n)
+    channel-ordered columns, or (t, M) LANE-ordered when n == 1 and
+    ``reorder=False``."""
     from libsdr_tpu.ops.wideband_rx import wideband_fm_local
 
     histp1_g, prev_g = carry
@@ -197,6 +204,8 @@ def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
     audio_lane, y_last = wideband_fm_local(
         x_local, histp1[..., 1:, :], prev, taps_np, taps, m, p, gain=gain)
     new_prev = y_last if n == 1 else last_shard_tail(y_last, axis)
+    if n == 1 and not reorder:
+        return (new_hist, new_prev), audio_lane         # (t, M) lane
     audio_cols = _lane_to_channel_cols(audio_lane, m)   # (t_seg, M)
     if n > 1:
         audio_cols = jax.lax.all_to_all(audio_cols, axis, split_axis=1,
@@ -204,7 +213,8 @@ def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
     return (new_hist, new_prev), audio_cols             # (t_full, M/n)
 
 
-def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
+def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str,
+                              plane_dtype=None):
     """(init_carry, place_input) shared by the wideband/scanner builders.
 
     Placement goes through :func:`parallel.distributed.place_global`, so the
@@ -212,9 +222,12 @@ def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
     host then materializes only its own shards (host-sharded ingest)."""
     from libsdr_tpu.parallel.distributed import place_global
 
+    dtype = plane_dtype if plane_dtype is not None else jnp.float32
+
     def init_carry():
         hist = jax.tree_util.tree_map(
-            lambda a: place_global(a, mesh, P()), cplx.zeros((p + 1, m)))
+            lambda a: place_global(a, mesh, P()),
+            cplx.zeros((p + 1, m), dtype))
         prev = jax.tree_util.tree_map(
             lambda a: place_global(a, mesh, P()),
             cplx.full_like_phasor((1, m)))
@@ -230,7 +243,8 @@ def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str):
 
 def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
                        fs_hz: float, taps_per_branch: int = 8,
-                       baud: float = 1200.0, axis: str = "d"):
+                       baud: float = 1200.0, axis: str = "d",
+                       compact_window: int = 0, plane_dtype=None):
     """Sharded whole-band pager scanner: the unified wideband stages (fused
     time-sharded channelize+FM -> all_to_all audio reshard) extended with
     the ASK detector and bit-sync PLL, all in the kernel's natural
@@ -238,15 +252,24 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
     over the FULL block, so the per-channel sequential PLL runs
     device-local — on TPU via the Pallas bit-sync kernel
     (ops/pallas_bitsync.py) whenever the local channel count fills whole
-    128-lane rows.
+    128-lane rows.  On one device the whole chain stays LANE-major
+    (no full-rate transposes; the channel permutation applies to the
+    decimated bits).
 
     ``step(carry, x)`` consumes a global (B,) complex block and returns a
-    Ragged (M, B/M) uint8 bit stream (rows = channels, channel-major) —
+    Ragged (M, T') uint8 bit stream (rows = channels, channel-major) —
     compact each channel's row and feed it to decode.pocsag_decode_bits.
+    T' = B/M, or B/M/compact_window when ``compact_window`` > 0: the PLL
+    emits bits >= ~fs_ch/baud samples apart (core/ragged.py
+    ``min_valid_gap``), so any window up to that gap losslessly decimates
+    the bit stream ON DEVICE — the (M, B/M) scatter compaction it
+    replaces measured ~510 ms/block at the 1024-channel flagship vs ~2 ms
+    for the windowed reduce.  Must divide B/M and not exceed the gap.
     """
     from libsdr_tpu import StreamSpec
-    from libsdr_tpu.core.ragged import Ragged
+    from libsdr_tpu.core.ragged import Ragged, min_valid_gap
     from libsdr_tpu.ops import ASKDetector, BitStream
+    from libsdr_tpu.ops.pallas_pfb import lane_of_channel
 
     n = int(mesh.devices.size)
     m, p = n_channels, taps_per_branch
@@ -255,6 +278,7 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
     t_full = block // m
     ch_rate = fs_hz / m
     g = m // n                       # channels per device after the reshard
+    w = int(compact_window)
 
     # The bit chain runs time-major on the device-local channel group; a
     # GLOBAL binding builds the carry pytree (per-channel leaves sharded).
@@ -267,6 +291,32 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
 
     ask_l, bs_l = make_chain(g)
     _, bs_g = make_chain(m)
+    if w:
+        if t_full % w:
+            raise ValueError(f"compact_window {w} must divide T={t_full}")
+        if w > min_valid_gap(bs_g):
+            raise ValueError(
+                f"compact_window {w} exceeds the PLL's guaranteed bit gap "
+                f"{min_valid_gap(bs_g)} — bits could be lost")
+
+    def _window_rows(a, fill):
+        # (T, C) time-major -> (T/w, C): <=1 valid per window (see above).
+        if not w:
+            return a
+        t = a.shape[0]
+        aw = a.reshape((t // w, w) + a.shape[1:])
+        if a.dtype == jnp.bool_:
+            return jnp.any(aw, axis=1)
+        return jnp.sum(jnp.where(fill.reshape(aw.shape), aw, 0),
+                       axis=1).astype(a.dtype)
+
+    def _bits_out(bits):
+        # time-major (T, C) -> windowed -> (C, T') channel-major contract
+        valid = bits.valid
+        data = _window_rows(bits.data, valid)
+        vw = _window_rows(valid, valid)
+        return Ragged(jnp.swapaxes(data, -1, -2),
+                      jnp.swapaxes(vw, -1, -2))
 
     def step_local(carry, x_local):
         wb_carry, bsc = carry
@@ -276,13 +326,29 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
         # exactly the bit chain's time_major layout.
         _, sym = ask_l.apply(None, audio_cols)
         bsc, bits = bs_l.apply(bsc, sym)
-        # (M, T) channel-major Ragged contract.
-        return (wb_carry, bsc), Ragged(
-            jnp.swapaxes(bits.data, -1, -2),
-            jnp.swapaxes(bits.valid, -1, -2))
+        return (wb_carry, bsc), _bits_out(bits)
 
     if n == 1:
-        step = jax.jit(step_local)
+        # Single-chip: keep the WHOLE chain lane-major — the PLL recurrence
+        # is per-lane, so lane order only matters at the END, where the
+        # permutation applies to the (windowed) bits instead of a full-rate
+        # (T, M) f32 audio pass + (M, T) uint8 regather.
+        lp = np.asarray(lane_of_channel(m))
+
+        def step_lane(carry, x_local):
+            wb_carry, bsc = carry
+            wb_carry, audio_lane = _wideband_body(
+                wb_carry, x_local, taps_np, taps, m, p, 1, axis,
+                reorder=False)
+            _, sym = ask_l.apply(None, audio_lane)
+            bsc, bits = bs_l.apply(bsc, sym)
+            valid = bits.valid
+            data = _window_rows(bits.data, valid)[..., lp]
+            vw = _window_rows(valid, valid)[..., lp]
+            return (wb_carry, bsc), Ragged(
+                jnp.swapaxes(data, -1, -2), jnp.swapaxes(vw, -1, -2))
+
+        step = jax.jit(step_lane)
     else:
         def leaf_spec(v):
             return P() if np.ndim(v) == 0 else P(
@@ -296,7 +362,8 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
             check_vma=False,
         ))
 
-    wb_init, place_input = _wideband_carry_and_place(mesh, m, p, axis)
+    wb_init, place_input = _wideband_carry_and_place(
+        mesh, m, p, axis, plane_dtype)
 
     def init_carry():
         from libsdr_tpu.parallel.distributed import place_global

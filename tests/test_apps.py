@@ -219,6 +219,35 @@ def test_wideband_scanner(tmp_path):
         assert found[ch][0].as_text().startswith(text)
 
 
+def test_scanner_bf16_wire(tmp_path):
+    """The u8 wire -> bf16-plane ingest path reaches the scanner's PFB
+    front end unconverted (scanner --bf16) and still decodes."""
+    from libsdr_tpu.apps import scanner
+
+    m = 16
+    ch_bw = 25_000.0
+    fs = m * ch_bw
+    n = int(fs * 1.0)
+    narrow = _pocsag_iq(ch_bw, text="BF16 WIRE", address=321)
+    t = np.arange(n) / fs
+    idx = np.minimum((np.arange(n) / m).astype(np.int64), len(narrow) - 1)
+    wide = (0.6 * narrow[idx] * np.exp(2j * np.pi * (3 * fs / m) * t)
+            ).astype(np.complex64)
+    # rtl_sdr wire format: u8 = x*128 + 128 (native/__init__.py:101)
+    inter = np.empty(2 * n, np.float32)
+    inter[0::2] = wide.real
+    inter[1::2] = wide.imag
+    u8 = np.clip(np.round(inter * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    cap = tmp_path / "wire.u8"
+    u8.tofile(cap)
+
+    found = scanner.main(["--raw", str(cap), "--rate", str(fs),
+                          "--channels", str(m), "--bf16"])
+    assert 3 in found
+    assert found[3][0].address == 321
+    assert found[3][0].as_text().startswith("BF16 WIRE")
+
+
 def test_multimode_bank(tmp_path):
     """BASELINE config 4: ONE channelizer front end feeding a per-channel
     mix of POCSAG / AFSK-AX.25 / RTTY / PSK31 decoders — a TX-synthesized

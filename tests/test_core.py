@@ -39,6 +39,41 @@ def test_pipeline_step_and_driver(rng):
     np.testing.assert_allclose(y, 0.5 * x + 1.0, rtol=1e-6)
 
 
+def test_chunks_per_dispatch_matches_single(rng):
+    """K-blocks-per-dispatch (lax.scan carry chaining) is bit-identical to
+    one-block-at-a-time streaming, including a trailing partial group and a
+    stateful (FIR tail) carry."""
+    from libsdr_tpu.ops import FIRFilter
+
+    spec = StreamSpec(jnp.float32, 8000, 256)
+    x = rng.normal(size=7 * 256).astype(np.float32)
+
+    def run(k):
+        p = Pipeline([FIRFilter(order=17, kind="lowpass", fu=1500.0),
+                      Scale(0.5)])
+        p.bind(spec)
+        _, y = run_pipeline(p, stream_blocks(x, 256), chunks_per_dispatch=k)
+        return np.asarray(y)
+
+    y1 = run(1)
+    # XLA fuses the scan body slightly differently than the standalone
+    # step, so allow 1-ulp float drift (measured max 1.2e-7 absolute).
+    np.testing.assert_allclose(y1, run(3), atol=3e-7)  # 2 groups + 1 tail
+    np.testing.assert_allclose(y1, run(7), atol=3e-7)  # one dispatch
+
+    # ragged output path (bit-sync PLL) through the same knob
+    from libsdr_tpu.ops import ASKDetector, BitStream
+
+    def run_bits(k):
+        p = Pipeline([ASKDetector(), BitStream(1000.0, mode="normal")])
+        p.bind(StreamSpec(jnp.float32, 8000, 256))
+        _, bits = run_pipeline(p, stream_blocks(x, 256),
+                               chunks_per_dispatch=k)
+        return np.asarray(bits)
+
+    np.testing.assert_array_equal(run_bits(1), run_bits(3))
+
+
 def test_stream_blocks_pads_final_block():
     x = np.arange(10, dtype=np.float32)
     blocks = list(stream_blocks(x, 4))

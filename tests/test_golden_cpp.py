@@ -923,3 +923,172 @@ def test_int_chain_audio_bit_exact_with_active_nco(tmp_path):
     got = np.concatenate(audio).astype(np.int16)
     assert len(got) == len(ref_audio)
     np.testing.assert_array_equal(got, ref_audio)
+
+
+# ---------------------------------------------------------------------------
+# APRS golden parity (reference parser: src/aprs.cc:162-318)
+# ---------------------------------------------------------------------------
+
+_APRS_HARNESS = r"""
+// Reference APRS chain on raw s16 AFSK audio: argv <in.raw s16> <fs>
+#include "fsk.hh"
+#include "aprs.hh"
+#include <cstdio>
+#include <ctime>
+#include <vector>
+
+using namespace sdr;
+
+class APRSPrinter : public APRS {
+public:
+  void handleAPRSMessage(const Message &m) {
+    struct tm t = *localtime(&m.time());
+    printf("APRS payload=");
+    for (size_t i = 0; i < m.payload().size(); i++)
+      printf("%02x", (unsigned char)m.payload()[i]);
+    printf(" loc=%d lat=%.9f lon=%.9f sym=%d mon=%d day=%d hh=%d mm=%d "
+           "ss=%d comment=",
+           m.hasLocation() ? 1 : 0, m.latitude(), m.longitude(),
+           (int)m.symbol(), t.tm_mon + 1, t.tm_mday, t.tm_hour, t.tm_min,
+           t.tm_sec);
+    for (size_t i = 0; i < m.comment().size(); i++)
+      printf("%02x", (unsigned char)m.comment()[i]);
+    printf("\n");
+  }
+};
+
+int main(int argc, char **argv) {
+  double fs = atof(argv[2]);
+  FILE *fin = fopen(argv[1], "rb");
+  if (!fin) return 1;
+  FSKDetector fsk(1200, 1200, 2200);
+  BitStream bits(1200, BitStream::TRANSITION);
+  APRSPrinter aprs;
+  fsk.connect(&bits, true);
+  bits.connect(&aprs, true);
+  const size_t B = 12000;
+  fsk.config(Config(Config::typeId<int16_t>(), fs, B, 1));
+  std::vector<int16_t> buf(B);
+  size_t got;
+  while ((got = fread(buf.data(), sizeof(int16_t), B, fin)) > 0) {
+    Buffer<int16_t> b(got);
+    for (size_t i = 0; i < got; i++) b[i] = buf[i];
+    fsk.process(b, false);
+  }
+  fclose(fin);
+  return 0;
+}
+"""
+
+# reference symbol enum order (src/aprs.hh Symbol)
+_REF_SYMBOLS = ["NONE", "POLICE", "DIGI", "PHONE", "AIRCRAFT", "HOUSE",
+                "MOTORCYCLE", "CAR", "BBS", "BALLOON", "BUS", "BOAT",
+                "JOGGER", "WX"]
+
+
+def _build_aprs_harness(tmpdir: str) -> str:
+    exe = os.path.join(tempfile.gettempdir(), "sdr_golden_aprs")
+    src = os.path.join(tmpdir, "harness_aprs.cc")
+    cfg = os.path.join(tmpdir, "config.hh")
+    with open(src, "w") as f:
+        f.write(_APRS_HARNESS)
+    with open(cfg, "w") as f:
+        f.write('#define SDR_VERSION_STRING "0.1.0"\n')
+    if os.path.exists(exe):
+        return exe
+    cmd = ["g++", "-O2", "-std=c++11", f"-I{tmpdir}", f"-I{REF}", src] + \
+        [f"{REF}/{c}" for c in ["buffer.cc", "node.cc", "queue.cc",
+                                "logger.cc", "exception.cc", "traits.cc",
+                                "fsk.cc", "ax25.cc", "aprs.cc"]] + \
+        ["-o", exe, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception as e:
+        pytest.skip(f"can not build APRS harness: {e}")
+    return exe
+
+
+def test_aprs_parse_parity_with_reference(tmp_path):
+    """The compiled reference APRS parser (src/aprs.cc:162-318) and
+    decode/aprs.py parse IDENTICAL lat/lon/symbol/time/comment from the
+    same TX-synthesized position reports — every type char ('!', '=',
+    '@', '/', ';'), every time format (hhmmss'h', z, '/', MDHM), plus a
+    non-position status frame."""
+    from libsdr_tpu.decode import ax25_frame_bits
+    from libsdr_tpu.decode.aprs import APRSDecoder
+    from libsdr_tpu.ops import siggen
+
+    exe = _build_aprs_harness(str(tmp_path))
+    bodies = [
+        b"!4903.50N/07201.75W-hello house",        # loc only, HOUSE
+        b"=5230.25S/01312.60E>car north",          # loc only, CAR
+        b"@234517h4903.50N/07201.75WOballoon up",  # time hhmmss h, BALLOON
+        b"/092345z6012.00N/02458.00E_wx here",     # time z (day/h/m), WX
+        b";OBJ4BALLN*092345z4900.00N/07200.00W#digi object",  # object
+        b"@08151230" + b"4903.50N/07201.75W[jog",  # time MDHM, JOGGER
+        b">just a status, no position",            # comment-only
+    ]
+    fs = 24000.0
+    line_all = []
+    cur = 0
+    for i, body in enumerate(bodies):
+        fb = ax25_frame_bits(f"N{i}CALL", "APRS", body, n_flags=60)
+        for bb in fb:
+            if bb == 0:
+                cur ^= 1
+            line_all.append(cur)
+    audio = siggen.fsk_modulate(fs, np.asarray(line_all, np.uint8), 1202.0,
+                                1200.0, 2200.0).real
+    audio = np.concatenate([audio, np.zeros(4000, np.float32)])
+    s16 = np.round(audio * 10000).astype(np.int16)
+    cap = tmp_path / "aprs.raw"
+    s16.tofile(cap)
+
+    res = subprocess.run([exe, str(cap), str(fs)], capture_output=True,
+                         text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    ref = {}
+    for l in res.stdout.splitlines():
+        if not l.startswith("APRS payload="):
+            continue
+        fields = dict(kv.split("=", 1) for kv in l[5:].split(" "))
+        ref[fields["payload"]] = fields
+    assert len(ref) == len(bodies), res.stdout
+
+    from libsdr_tpu.apps.chains import afsk_front_end, run_bit_chain
+    fe = afsk_front_end(fs, 12000)
+    bits = run_bit_chain(fe, s16.astype(np.float32) / 32768.0)
+    dec = APRSDecoder()
+    dec.process(bits)
+    assert len(dec.aprs_messages) == len(bodies)
+
+    for m in dec.aprs_messages:
+        key = m.ax25.payload.hex()
+        assert key in ref, f"reference missed payload {key}"
+        r = ref[key]
+        assert int(r["loc"]) == int(m.has_location), r
+        if m.has_location:
+            assert abs(float(r["lat"]) - m.latitude) < 1e-9, r
+            assert abs(float(r["lon"]) - m.longitude) < 1e-9, r
+            assert _REF_SYMBOLS[int(r["sym"])] == m.symbol, r
+        body = m.ax25.payload[2:]
+        if m.has_time:
+            t = m.time
+            tc = body[0:1]
+            if tc == b";":
+                fmt = body[18:19]  # after ';' + 9 id + delim + 6 digits
+            elif body[7:8] in (b"h", b"z", b"/"):
+                fmt = body[7:8]
+            else:
+                fmt = b"M"         # MDHM
+            if fmt == b"h":
+                assert (int(r["hh"]), int(r["mm"]), int(r["ss"])) == \
+                    (t.hour, t.minute, t.second), r
+            elif fmt in (b"z", b"/"):
+                assert (int(r["day"]), int(r["hh"]), int(r["mm"])) == \
+                    (t.day, t.hour, t.minute), r
+            else:
+                assert (int(r["mon"]), int(r["day"]), int(r["hh"]),
+                        int(r["mm"])) == \
+                    (t.month, t.day, t.hour, t.minute), r
+        assert bytes.fromhex(r["comment"]).decode("latin-1") == m.comment, r

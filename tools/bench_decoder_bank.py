@@ -143,7 +143,7 @@ def main() -> None:
 
     wall = t_tpu + t_host
     rt_multiple = n_ch * args.seconds / wall
-    print(json.dumps({
+    out = {
         "metric": "concurrent POCSAG channels decoded per host (1 chip)",
         "channels_run": n_ch,
         "decode_success": decoded,
@@ -155,7 +155,10 @@ def main() -> None:
                 "host->device link (~tens of MB/s) is not representative "
                 "of production PCIe ingest — see libsdr_tpu/native "
                 "(double-buffered pump) for the ingest path",
-    }))
+    }
+    print(json.dumps(out))
+    from tools._artifact import write_artifact
+    write_artifact("DECODERBANK", out)
 
 
 if __name__ == "__main__":

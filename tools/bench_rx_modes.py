@@ -134,6 +134,8 @@ def main() -> None:
 
     out["metric"] = "per-mode receiver bank Msamples/s/chip (apps/rx.py)"
     print(json.dumps(out))
+    from tools._artifact import write_artifact
+    write_artifact("RXMODES", out)
 
 
 if __name__ == "__main__":

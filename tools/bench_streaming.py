@@ -1,0 +1,86 @@
+"""Streaming (low-latency) throughput vs chunks_per_dispatch — VERDICT r2
+weak #5: small-block configs pay this environment's ~2-4 ms per-dispatch
+tunnel floor; chaining K blocks per dispatch (lax.scan over the carry,
+Pipeline.compile_chunked / run_pipeline(chunks_per_dispatch=K)) amortizes
+it K-fold at a latency budget of K blocks.
+
+Config: the 128-channel x 512k-sample FM bank (the documented streaming
+config).  Prints one JSON object and writes STREAMING_r*.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--block", type=int, default=512 * 1024)
+    ap.add_argument("--ks", type=int, nargs="*", default=[1, 2, 4, 8, 16])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops import FMDemod, FMDeemph, IQBaseBand
+
+    n_ch, block = args.channels, args.block
+    fs = 960_000.0
+    key = jax.random.PRNGKey(0)
+    x1 = cplx.Complex(jax.random.normal(key, (n_ch, block), np.float32),
+                      jax.random.normal(jax.random.PRNGKey(1),
+                                       (n_ch, block), np.float32))
+
+    p = Pipeline([IQBaseBand(fc=fs / 8, width=200e3, order=64, decim=4,
+                             design="textbook"), FMDemod(), FMDeemph()])
+    p.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
+    out = {"channels": n_ch, "block": block,
+           "samples_per_block": n_ch * block}
+
+    for k in args.ks:
+        if k == 1:
+            step = p.compile()
+            xs = x1
+        else:
+            step = p.compile_chunked(k)
+            xs = cplx.Complex(
+                jnp.broadcast_to(x1.re, (k,) + x1.re.shape),
+                jnp.broadcast_to(x1.im, (k,) + x1.im.shape))
+        carry = p.init_carry()
+        c, y = step(carry, xs)
+        _ = float(jnp.sum(y))
+        best = float("inf")
+        iters = max(2, 16 // k)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = carry
+            for _ in range(iters):
+                c, y = step(c, xs)
+            _ = float(jnp.sum(y))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        msps = n_ch * block * k / best / 1e6
+        out[f"k{k}_msps"] = round(msps, 1)
+        out[f"k{k}_latency_ms"] = round(best * 1e3, 3)
+
+    base = out.get("k1_msps", 1.0)
+    out["best_speedup_vs_k1"] = round(
+        max(out[f"k{k}_msps"] for k in args.ks) / base, 2)
+    out["metric"] = ("streaming FM bank Msps vs chunks-per-dispatch "
+                     "(latency = ms per dispatch of K blocks)")
+    print(json.dumps(out))
+    from tools._artifact import write_artifact
+    write_artifact("STREAMING", out)
+
+
+if __name__ == "__main__":
+    main()
