@@ -75,6 +75,21 @@ def fuse_stages(stages: List) -> List:
                 and isinstance(nxt, AMDemod)):
             i += 1  # |x| is rotation-invariant: drop outright
             continue
+        from libsdr_tpu.ops.fsk import FSKDetector
+        if (isinstance(st, IQBaseBand) and type(st) is IQBaseBand
+                and _demod_takes_rot(nxt)
+                and not nxt._pending_rot_freqs
+                and i + 2 < len(stages)
+                and type(stages[i + 2]) is FSKDetector
+                and _on_tpu()):
+            # AFSK chain [IQBaseBand -> FMDemod -> FSKDetector]: one op
+            # emits the uint8 symbol stream straight from raw IQ (on wide
+            # banks via ONE Pallas pass — FIR + discriminator + dual-tone
+            # correlator; neither baseband nor audio touches HBM).
+            from libsdr_tpu.ops.afsk_fused import AFSKFrontendFused
+            out.append(AFSKFrontendFused(st, nxt, stages[i + 2]))
+            i += 3
+            continue
         if (isinstance(st, IQBaseBand) and type(st) is IQBaseBand
                 and _demod_takes_rot(nxt)
                 and not nxt._pending_rot_freqs

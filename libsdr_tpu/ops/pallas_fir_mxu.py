@@ -726,6 +726,36 @@ def mxu_fir2_supported(taps_len: int, stride: int, channels: int,
             and _ft_for(stride, channels, block, itemsize) > 0)
 
 
+def mxu_afsk_supported(taps_len: int, stride: int, channels: int,
+                       block: int, corr_len: int,
+                       dtype=jnp.float32) -> bool:
+    """Gate for the fused AFSK mode: the exact-tiling FIR constraints plus
+    a correlator that spans at most one previous frame (the windowed sum is
+    resolved with ONE previous-frame matmul, mirroring the FIR spill)."""
+    return (2 <= corr_len <= _S
+            and mxu_fir2_supported(taps_len, stride, channels, block,
+                                   dtype=dtype))
+
+
+def _build_wmat(corr_len: int) -> np.ndarray:
+    """(2S, S) float32 boxcar window matrices [W ; Wp] for the FSK
+    correlator's length-L sliding sum over per-sample tone products
+    (reference ring sum: src/fsk.cc:68-87): with u the current frame's
+    products (S lanes) and up the previous frame's,
+    ``s = u @ W + up @ Wp`` gives s[j] = sum_{m=j-L+1..j} u[m].  Entries
+    are 0/1, so the bf16 MXU pass is exact in the matrix."""
+    s = _S
+    L = int(corr_len)
+    w = np.zeros((s, s), np.float32)
+    wp = np.zeros((s, s), np.float32)
+    for j in range(s):
+        for k in range(max(0, j - L + 1), j + 1):
+            w[k, j] = 1.0
+        for k in range(max(0, j + s - L + 1), s):
+            wp[k, j] = 1.0
+    return np.concatenate([w, wp], axis=0)
+
+
 def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
                 dm_ref, dl_hbm, fph_ref, rrow_ref, *refs, ct: int, ft: int,
                 sd: int, b_total: int, precision, rot_re: float,
@@ -733,6 +763,9 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
     if mode == "fir":
         (yr_ref, yi_ref, xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s,
          dp_s, sems) = refs
+    elif mode == "afsk":
+        (tpl_ref, wmat_ref, up_ref, audio_ref, ylr_ref, yli_ref, ulast_ref,
+         xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s, dp_s, u_s, sems) = refs
     else:
         (audio_ref, ylr_ref, yli_ref, xr_s, xi_s, ppr_s, ppi_s, pr_s, pi_s,
          dp_s, sems) = refs
@@ -786,12 +819,37 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
         pi_s[:] = li_hbm[:]
         if deemph:
             dp_s[:] = dl_hbm[:]
+        if mode == "afsk":
+            # Seed the previous-frame tone products from the host carry:
+            # (ct, 4S) lane groups [um_re | um_im | us_re | us_im] ->
+            # (4ct, S) stacked planes (the matmul row layout).
+            u_s[:] = jnp.concatenate(
+                [up_ref[:, 0:s], up_ref[:, s:2 * s],
+                 up_ref[:, 2 * s:3 * s], up_ref[:, 3 * s:4 * s]], axis=0)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (ct, s), 1)
     prev_r = pr_s[:]
     prev_i = pi_s[:]
     pp_r = ppr_s[:]
     pp_i = ppi_s[:]
+    if mode == "afsk":
+        u_prev = u_s[:]
+        # 0/1 entries: the bf16 matrix cast is exact.
+        wm_cur = wmat_ref[:s].astype(jnp.bfloat16)
+        wm_prev = wmat_ref[s:].astype(jnp.bfloat16)
+        dn_w = (((1,), (0,)), ((), ()))
+
+        def wmm(v, wm):
+            # f32-accurate boxcar matmul: hi/lo bf16 split of the data
+            # against the exact 0/1 matrix (2 passes; 1 in fast mode).
+            v_hi = v.astype(jnp.bfloat16)
+            out = jax.lax.dot_general(v_hi, wm, dn_w,
+                                      preferred_element_type=jnp.float32)
+            if precision != "x1":
+                v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                out = out + jax.lax.dot_general(
+                    v_lo, wm, dn_w, preferred_element_type=jnp.float32)
+            return out
     if deemph:
         dmat = dm_ref[:s, :]
         dpow = dm_ref[s:s + 1, :]
@@ -862,6 +920,29 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
         zr2 = zr * jnp.float32(rot_re) - zi * jnp.float32(rot_im)
         zi2 = zr * jnp.float32(rot_im) + zi * jnp.float32(rot_re)
         au = jnp.float32(gain) * _atan2_poly(zi2, zr2)
+        if mode == "afsk":
+            # FSK dual tone correlator on the in-register FM audio
+            # (reference per-sample ring: src/fsk.cc:68-87): multiply by
+            # the audio-rate tone template rows (mark/space re/im), take
+            # the length-L sliding sum as two banded-ones MXU matmuls
+            # (current + previous frame), and emit the mark-vs-space
+            # power difference — the bit-sync PLL thresholds it at 0.
+            tm_r = tpl_ref[0:1, f * s:(f + 1) * s]
+            tm_i = tpl_ref[1:2, f * s:(f + 1) * s]
+            ts_r = tpl_ref[2:3, f * s:(f + 1) * s]
+            ts_i = tpl_ref[3:4, f * s:(f + 1) * s]
+            u = jnp.concatenate([au * tm_r, au * tm_i,
+                                 au * ts_r, au * ts_i], axis=0)
+            sw = wmm(u, wm_cur) + wmm(u_prev, wm_prev)
+            disc = (sw[0:ct] * sw[0:ct]
+                    + sw[ct:2 * ct] * sw[ct:2 * ct]
+                    - sw[2 * ct:3 * ct] * sw[2 * ct:3 * ct]
+                    - sw[3 * ct:4 * ct] * sw[3 * ct:4 * ct])
+            audio_ref[:, f * s:(f + 1) * s] = disc
+            u_prev = u
+            prev_r = yr[:, s - 1:s]
+            prev_i = yi[:, s - 1:s]
+            continue
         if deemph:
             au = dmm(au) + dprev * dpow
             dprev = au[:, s - 1:s]
@@ -876,6 +957,14 @@ def _kernel_fm2(xr_hbm, xi_hbm, m_ref, tpr_ref, tpi_ref, lr_hbm, li_hbm,
     pi_s[:] = prev_i
     if deemph:
         dp_s[:] = dprev
+    if mode == "afsk":
+        u_s[:] = u_prev
+        # export the last frame's tone products for the next block's seed
+        # ((ct, 4S) lane groups, the inverse of the wi==0 unpack).
+        ulast_ref[:, 0:s] = u_prev[0:ct]
+        ulast_ref[:, s:2 * s] = u_prev[ct:2 * ct]
+        ulast_ref[:, 2 * s:3 * s] = u_prev[2 * ct:3 * ct]
+        ulast_ref[:, 3 * s:4 * s] = u_prev[3 * ct:4 * ct]
     # carry exports (constant-index out blocks — the last step's write per
     # channel tile is what flushes): y of the final output, except in AM
     # mode with AGC where the first slot carries the AGC envelope state.
@@ -895,7 +984,8 @@ def _fir_fm2_call(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead,
                   fph, rrow, stride: int, ft: int, rot_re: float,
                   rot_im: float, gain: float, deemph: bool = False,
                   mode: str = "fm", precision: str = "x3",
-                  interpret: bool = False):
+                  interpret: bool = False, tpl=None, wmat=None,
+                  uprev=None):
     c, b = xr.shape
     sd = _S * stride
     ct = min(c, _CT)
@@ -903,63 +993,89 @@ def _fir_fm2_call(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead,
     grid = (c // ct, f_total // ft)
     n_out = f_total * _S
     ncols = 2 * _S + 2 * _NSP_PAD
+    afsk = mode == "afsk"
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((sd, ncols), lambda ci, wi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ct, sd), lambda ci, wi: (ci, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ct, sd), lambda ci, wi: (ci, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_S + 8, _S), lambda ci, wi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # fph (F, 8), whole
+        pl.BlockSpec((16, _S), lambda ci, wi: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead, fph, rrow]
+    if afsk:
+        in_specs += [
+            pl.BlockSpec((8, ft * _S), lambda ci, wi: (0, wi),
+                         memory_space=pltpu.VMEM),      # tone templates
+            pl.BlockSpec((2 * _S, _S), lambda ci, wi: (0, 0),
+                         memory_space=pltpu.VMEM),      # window matrices
+            pl.BlockSpec((ct, 4 * _S), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),      # u_prev seed
+        ]
+        operands += [tpl, wmat, uprev]
+    if mode == "fir":
+        out_specs = [pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
+                                  memory_space=pltpu.VMEM)] * 2
+        out_shape = [jax.ShapeDtypeStruct((c, n_out), jnp.float32)] * 2
+    else:
+        out_specs = [pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+                     jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((c, 1), jnp.float32)]
+        if afsk:
+            out_specs.append(
+                pl.BlockSpec((ct, 4 * _S), lambda ci, wi: (ci, 0),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((c, 4 * _S), jnp.float32))
+    scratch_shapes = [
+        pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+        pltpu.VMEM((2, ct, ft * sd), xr.dtype),
+        pltpu.VMEM((ct, ncols), jnp.float32),
+        pltpu.VMEM((ct, ncols), jnp.float32),
+        pltpu.VMEM((ct, 1), jnp.float32),
+        pltpu.VMEM((ct, 1), jnp.float32),
+        pltpu.VMEM((ct, 1), jnp.float32),
+    ]
+    if afsk:
+        scratch_shapes.append(pltpu.VMEM((4 * ct, _S), jnp.float32))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2, 2)))
+    afsk_flops = (2 if afsk else 0) * 2 * 2 * c * b * _S // stride
     return pl.pallas_call(
         functools.partial(_kernel_fm2, ct=ct, ft=ft, sd=sd, b_total=b,
                           precision=precision, rot_re=rot_re,
                           rot_im=rot_im, gain=gain, deemph=deemph,
                           mode=mode),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((sd, ncols), lambda ci, wi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, sd), lambda ci, wi: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, sd), lambda ci, wi: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_S + 8, _S), lambda ci, wi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # fph (F, 8), whole
-            pl.BlockSpec((16, _S), lambda ci, wi: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=([pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
-                                 memory_space=pltpu.VMEM)] * 2
-                   if mode == "fir" else
-                   [pl.BlockSpec((ct, ft * _S), lambda ci, wi: (ci, wi),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
-                                 memory_space=pltpu.VMEM)]),
-        out_shape=([jax.ShapeDtypeStruct((c, n_out), jnp.float32)] * 2
-                   if mode == "fir" else
-                   [jax.ShapeDtypeStruct((c, n_out), jnp.float32),
-                    jax.ShapeDtypeStruct((c, 1), jnp.float32),
-                    jax.ShapeDtypeStruct((c, 1), jnp.float32)]),
-        scratch_shapes=[
-            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
-            pltpu.VMEM((2, ct, ft * sd), xr.dtype),
-            pltpu.VMEM((ct, ncols), jnp.float32),
-            pltpu.VMEM((ct, ncols), jnp.float32),
-            pltpu.VMEM((ct, 1), jnp.float32),
-            pltpu.VMEM((ct, 1), jnp.float32),
-            pltpu.VMEM((ct, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * 2 * c * b * (2 * _S + 2 * _NSP_PAD) // stride,
+            flops=(3 * 2 * 2 * c * b * (2 * _S + 2 * _NSP_PAD) // stride
+                   + afsk_flops),
             bytes_accessed=(xr.dtype.itemsize * 2 * c * b + 4 * c * n_out),
             transcendentals=c * n_out),
         interpret=interpret,
-    )(xr, xi, m, tpr, tpi, lead_r, lead_i, dmat, dlead, fph, rrow)
+    )(*operands)
 
 
 _MAT2_CACHE_NP: dict = {}
@@ -1059,3 +1175,64 @@ def fir_exact(x: Complex, taps: np.ndarray, stride: int, tail: Complex,
         dmat, zc, fph, rrow, stride, ft, 1.0, 0.0, 1.0, deemph=False,
         mode="fir", precision=_PRECISION, interpret=interpret)
     return Complex(yr, yi)
+
+
+_WMAT_CACHE_NP: dict = {}
+_WMAT_CACHE_DEV: dict = {}
+
+
+def _wmat_on_device(corr_len: int):
+    key = (int(corr_len), _S)
+    m_np = _WMAT_CACHE_NP.get(key)
+    if m_np is None:
+        m_np = _build_wmat(corr_len)
+        _WMAT_CACHE_NP[key] = m_np
+    return to_device_cached(_WMAT_CACHE_DEV, key, lambda: m_np)
+
+
+def fir_afsk_exact(x: Complex, taps: np.ndarray, stride: int,
+                   tail: Complex, lead_last: Complex, rot: complex,
+                   gain: float, corr_len: int, tpl, uprev,
+                   interpret: bool = False):
+    """Exact-tiling fused AFSK front end: decimating FIR + quadrature FM
+    demod + dual-tone FSK correlator in ONE kernel pass (reference chain:
+    src/baseband.hh:226-236 -> src/demod.hh:191-203 -> src/fsk.cc:68-87).
+
+    Args are as in ``fir_fm_exact`` plus:
+      corr_len: correlator window L = floor(audio_fs / baud), 2..128.
+      tpl: (8, B/stride) f32 — audio-rate tone template rows
+        [mark_re, mark_im, space_re, space_im, 0...] already rolled to the
+        stream's template phase (host side, see ops/afsk_fused.py).
+      uprev: (C, 4*128) f32 — the previous block's final frame of tone
+        products in lane groups [um_re | um_im | us_re | us_im]; the first
+        block seeds zeros (lanes below 128-(L-1) are never read).
+
+    Returns (disc (C, B/stride), y_last Complex (C, 1), u_last (C, 512))
+    where ``disc`` is the mark-vs-space power difference (symbol =
+    disc > 0) and ``u_last`` is the next block's ``uprev``."""
+    taps = np.asarray(taps)
+    if not np.iscomplexobj(taps):
+        taps = taps.astype(np.complex128)
+    rot = complex(rot)
+    c, b = x.re.shape
+    t = taps.shape[0]
+    sd = _S * stride
+    ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
+    pad = sd - (t - 1)
+    zpad = jnp.zeros((c, pad), x.re.dtype)
+    tpr = jnp.concatenate([zpad, tail.re.astype(x.re.dtype)], axis=-1)
+    tpi = jnp.concatenate([zpad, tail.im.astype(x.im.dtype)], axis=-1)
+    dmat = jnp.zeros((_S + 8, _S), jnp.float32)
+    dlead = jnp.zeros((c, 1), jnp.float32)
+    f_total = (b // stride) // _S
+    fph = jnp.zeros((f_total, 8), jnp.float32)
+    rrow = jnp.zeros((16, _S), jnp.float32)
+    disc, ylr, yli, ulast = _fir_fm2_call(
+        x.re, x.im, _mats2_on_device(taps, stride), tpr, tpi,
+        lead_last.re.astype(jnp.float32), lead_last.im.astype(jnp.float32),
+        dmat, dlead, fph, rrow, stride, ft,
+        float(rot.real), float(rot.imag), float(gain),
+        deemph=False, mode="afsk", precision=_PRECISION,
+        interpret=interpret, tpl=tpl, wmat=_wmat_on_device(corr_len),
+        uprev=uprev)
+    return disc, Complex(ylr, yli), ulast

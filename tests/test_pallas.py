@@ -485,3 +485,183 @@ def test_bitsync_kernel_lane_padding_matches_scan(rng):
         for k in outs["scan"][1]:
             np.testing.assert_array_equal(outs["scan"][1][k],
                                           outs["kernel"][1][k]), k
+
+
+# ---------------------------------------------------------------------------
+# Fused AFSK front end (FIR + FM discriminator + dual-tone FSK correlator)
+# ---------------------------------------------------------------------------
+
+def test_pallas_afsk_kernel_matches_oracle(rng):
+    """fir_afsk_exact vs a numpy oracle of the reference chain math
+    (src/baseband.hh FIR -> src/demod.hh discriminator -> src/fsk.cc ring
+    correlator), with nonzero template phase n0 and a nonzero previous-
+    block tone-product seed — covering the in-frame/cross-frame/cross-step
+    window carry (interpret mode)."""
+    from libsdr_tpu.ops.pallas_fir_mxu import (_S, fir_afsk_exact,
+                                               mxu_afsk_supported)
+
+    C, D, T, L = 8, 4, 49, 40
+    B = 16384                       # 32 frames -> ft=8, 4 grid steps
+    n0 = 16
+    assert mxu_afsk_supported(T, D, C, B, L)
+    fs_audio = 48000.0
+    x = (rng.normal(size=(C, B)) + 1j * rng.normal(size=(C, B))
+         ).astype(np.complex64)
+    g = rng.normal(size=T) + 1j * rng.normal(size=T)
+    rot = np.exp(-0.37j)
+    gain = 0.8
+    n_audio = B // D
+    i = np.arange(L)
+    tm = np.exp(2j * np.pi * 1200.0 * i / fs_audio)
+    ts = np.exp(2j * np.pi * 2200.0 * i / fs_audio)
+    # host-side template block rolled to phase n0 (as ops/afsk_fused.py)
+    reps = -(-(n_audio + L) // L)
+    tpl_np = np.zeros((8, reps * L), np.float32)
+    tpl_np[0], tpl_np[1] = np.tile(tm.real, reps), np.tile(tm.imag, reps)
+    tpl_np[2], tpl_np[3] = np.tile(ts.real, reps), np.tile(ts.imag, reps)
+    tpl = jnp.asarray(tpl_np[:, n0:n0 + n_audio])
+    # nonzero u seed in the op's lane layout
+    um_tail = rng.normal(size=(C, 2, L - 1)).astype(np.float32)
+    us_tail = rng.normal(size=(C, 2, L - 1)).astype(np.float32)
+    up = np.zeros((C, 4 * _S), np.float32)
+    lo = _S - (L - 1)
+    up[:, lo:_S] = um_tail[:, 0]
+    up[:, _S + lo:2 * _S] = um_tail[:, 1]
+    up[:, 2 * _S + lo:3 * _S] = us_tail[:, 0]
+    up[:, 3 * _S + lo:4 * _S] = us_tail[:, 1]
+    lead = (rng.normal(size=(C, 1)) + 1j * rng.normal(size=(C, 1))
+            ).astype(np.complex64)
+    tail = (rng.normal(size=(C, T - 1)) + 1j * rng.normal(size=(C, T - 1))
+            ).astype(np.complex64)
+
+    disc, y_last, ulast = fir_afsk_exact(
+        cplx.as_block(x), g, D, cplx.as_block(tail), cplx.as_block(lead),
+        rot, gain, L, tpl, jnp.asarray(up), interpret=True)
+    got = np.asarray(disc)
+    got_ulast = np.asarray(ulast)
+
+    # numpy oracle
+    xc = np.concatenate([tail, x], axis=1).astype(np.complex128)
+    for c in (0, 5):
+        y_prev = complex(lead[c, 0])
+        hist_m = (um_tail[c, 0] + 1j * um_tail[c, 1]).astype(np.complex128)
+        hist_s = (us_tail[c, 0] + 1j * us_tail[c, 1]).astype(np.complex128)
+        hist_m = list(hist_m)
+        hist_s = list(hist_s)
+        scale = None
+        for j in range(n_audio):
+            w0 = (T - 1) + (j + 1) * D - T   # window end idx in xc
+            y = np.dot(g, xc[c, w0:w0 + T])
+            au = gain * np.angle(y * np.conj(y_prev) * rot)
+            y_prev = y
+            um = au * (tm[(n0 + j) % L])
+            us = au * (ts[(n0 + j) % L])
+            hist_m.append(um)
+            hist_s.append(us)
+            sm = np.sum(hist_m[-L:])
+            ss = np.sum(hist_s[-L:])
+            exp = abs(sm) ** 2 - abs(ss) ** 2
+            if scale is None:
+                scale = max(1.0, float(np.abs(got[c]).max()))
+            assert abs(got[c, j] - exp) < 2e-3 * scale, (c, j, got[c, j], exp)
+        # exported u_last = the final frame's tone products
+        for k in range(1, L):
+            u_m = hist_m[len(hist_m) - k]
+            u_s = hist_s[len(hist_s) - k]
+            assert abs(got_ulast[c, _S - k] - u_m.real) < 1e-3
+            assert abs(got_ulast[c, 2 * _S - k] - u_m.imag) < 1e-3
+            assert abs(got_ulast[c, 3 * _S - k] - u_s.real) < 1e-3
+            assert abs(got_ulast[c, 4 * _S - k] - u_s.imag) < 1e-3
+
+
+def test_afsk_fused_op_blocking_invariance_and_parity(rng):
+    """AFSKFrontendFused: (a) the kernel path is bit-identical across block
+    sizes (the n0/u/tail/y carries chain exactly); (b) symbols agree with
+    the unfused [IQBaseBand -> FMDemod -> FSKDetector] chain except at
+    near-zero discriminator ties."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import FMDemod, FSKDetector, IQBaseBand
+    from libsdr_tpu.ops.afsk_fused import AFSKFrontendFused
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    fs, nch, total = 192_000.0, 64, 16384
+    x = (rng.normal(size=(nch, total)) + 1j * rng.normal(size=(nch, total))
+         ).astype(np.complex64)
+
+    def run(mode, blk):
+        p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                 out_rate=48e3, design="textbook"),
+                      FMDemod(), FSKDetector(1200.0, 1200.0, 2200.0)])
+        with kernel_mode(mode):
+            p.bind(StreamSpec(np.complex64, fs, blk, channels=(nch,)))
+            if mode == "interpret":
+                assert type(p.stages[0]) is AFSKFrontendFused, p.stages
+            step = p.compile()
+            c = p.init_carry()
+            outs = []
+            for i in range(total // blk):
+                c, y = step(c, cplx.as_block(x[:, i * blk:(i + 1) * blk]))
+                outs.append(np.asarray(y))
+        return np.concatenate(outs, axis=-1)
+
+    big = run("interpret", total)
+    split = run("interpret", total // 2)
+    np.testing.assert_array_equal(big, split)
+    ref = run("off", total)
+    assert (big == ref).mean() > 0.995, (big == ref).mean()
+
+
+def test_afsk_fused_decodes_ax25(rng):
+    """End to end on the kernel path: an FM-modulated AFSK1200 AX.25 frame
+    at IQ rate decodes to the identical frame through the fused front end
+    (interpret mode) and the unfused chain."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core.ragged import Ragged, compact
+    from libsdr_tpu.decode import AX25Decoder, ax25_frame_bits
+    from libsdr_tpu.ops import (BitStream, FMDemod, FSKDetector, IQBaseBand,
+                                siggen)
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    fs, nch, blk = 96_000.0, 64, 8192
+    info = b"!4903.50N/07201.75W-fused"
+    frame_bits = ax25_frame_bits("N0CALL", "APRS", info, n_flags=20)
+    line, cur = [], 0
+    for bb in frame_bits:              # NRZI
+        if bb == 0:
+            cur ^= 1
+        line.append(cur)
+    audio = siggen.fsk_modulate(48000.0, np.asarray(line, np.uint8),
+                                1200.0, 1200.0, 2200.0).real
+    # FM-modulate onto a 24 kHz offset carrier at the IQ rate
+    aud_up = np.repeat(audio, 2)
+    n = -(-len(aud_up) // blk) * blk
+    aud_up = np.pad(aud_up, (256, n - len(aud_up) - 256))
+    inst = 2 * np.pi * (24e3 / fs) + 2 * np.pi * (3e3 / fs) * aud_up
+    iq = np.exp(1j * np.cumsum(inst)).astype(np.complex64)
+    x = np.broadcast_to(iq, (nch, len(iq))).copy()
+
+    def decode(mode):
+        p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                 out_rate=48e3, design="textbook"),
+                      FMDemod(), FSKDetector(1200.0, 1200.0, 2200.0),
+                      BitStream(1200.0, mode="transition")])
+        with kernel_mode(mode):
+            p.bind(StreamSpec(np.complex64, fs, blk, channels=(nch,)))
+            step = p.compile()
+            c = p.init_carry()
+            datas, valids = [], []
+            for i in range(x.shape[1] // blk):
+                c, y = step(c, cplx.as_block(x[:, i * blk:(i + 1) * blk]))
+                datas.append(np.asarray(y.data))
+                valids.append(np.asarray(y.valid))
+        bits = compact(Ragged(np.concatenate(datas, -1)[..., 0, :],
+                              np.concatenate(valids, -1)[..., 0, :]))
+        dec = AX25Decoder()
+        dec.process(bits)
+        return dec.messages
+
+    got = decode("interpret")
+    assert got, "fused chain did not decode the fixture"
+    assert got[0].payload.endswith(info)   # leading ctrl/PID bytes 03 F0
+    ref = decode("off")
+    assert ref and ref[0].payload == got[0].payload
