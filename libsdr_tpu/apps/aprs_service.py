@@ -5,16 +5,49 @@ The reference ships a tiny threaded HTTP/1.1 server with JSON handlers
 (cmd/aprsapplication.cc:10-60: static page, /spots JSON, /update push).
 Python's stdlib ThreadingHTTPServer provides the same thread-per-connection
 model, so the service here is the decoded-spot store + JSON endpoints.
+
+The reference's server also carries a protocol-upgrade hook plus a SHA-1
+implementation intended for websocket push (src/http.hh:87-621 +
+src/sha1.cc — never wired up to a handler there); here the upgrade is
+actually implemented: ``GET /ws`` performs the RFC 6455 handshake
+(Sec-WebSocket-Accept = base64(sha1(key + GUID))) and the connection then
+receives every stored spot followed by each newly decoded/pushed spot as
+a JSON text frame.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List
 
 from libsdr_tpu.decode.aprs import APRSDecoder, APRSMessage
+
+# RFC 6455 §1.3 handshake GUID (the constant the reference's sha1.cc was
+# shipped for).
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def ws_accept(key: str) -> str:
+    """Sec-WebSocket-Accept for a client key (RFC 6455 §4.2.2)."""
+    digest = hashlib.sha1((key + _WS_GUID).encode("ascii")).digest()
+    return base64.b64encode(digest).decode("ascii")
+
+
+def ws_text_frame(payload: bytes) -> bytes:
+    """One unmasked server->client text frame (RFC 6455 §5.2)."""
+    n = len(payload)
+    if n < 126:
+        head = bytes([0x81, n])
+    elif n < 1 << 16:
+        head = bytes([0x81, 126]) + n.to_bytes(2, "big")
+    else:
+        head = bytes([0x81, 127]) + n.to_bytes(8, "big")
+    return head + payload
 
 
 def _load_page() -> bytes:
@@ -37,6 +70,28 @@ class APRSStore:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._spots: List[dict] = []
+        self._subs: List[queue.Queue] = []
+
+    def subscribe(self) -> "queue.Queue[dict]":
+        """Register a live-push subscriber: the queue is pre-loaded with
+        every stored spot and then receives each new one."""
+        q: queue.Queue = queue.Queue()
+        with self._lock:
+            for s in self._spots:
+                q.put(s)
+            self._subs.append(q)
+        return q
+
+    def unsubscribe(self, q: queue.Queue) -> None:
+        with self._lock:
+            if q in self._subs:
+                self._subs.remove(q)
+
+    def _append(self, spot: dict) -> None:
+        with self._lock:
+            self._spots.append(spot)
+            for q in self._subs:
+                q.put(spot)
 
     def add(self, msg: APRSMessage) -> None:
         spot = {
@@ -50,13 +105,11 @@ class APRSStore:
                         symbol=msg.symbol)
         if msg.has_time and msg.time is not None:
             spot["time"] = msg.time.isoformat()
-        with self._lock:
-            self._spots.append(spot)
+        self._append(spot)
 
     def add_spot(self, spot: dict) -> None:
         """Append an externally-pushed spot (the REST /update path)."""
-        with self._lock:
-            self._spots.append(spot)
+        self._append(spot)
 
     def spots(self) -> List[dict]:
         with self._lock:
@@ -65,7 +118,12 @@ class APRSStore:
 
 def make_handler(store: APRSStore):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
         def do_GET(self):  # noqa: N802
+            if self.path == "/ws":
+                self._serve_websocket()
+                return
             if self.path == "/spots":
                 body = json.dumps(store.spots()).encode()
                 ctype = "application/json"
@@ -105,6 +163,35 @@ def make_handler(store: APRSStore):
             store.add_spot(spot)
             self.send_response(204)
             self.end_headers()
+
+        def _serve_websocket(self):
+            # RFC 6455 server handshake + spot push (the upgrade path the
+            # reference's http.hh protocol hook + sha1.cc were built for).
+            key = self.headers.get("Sec-WebSocket-Key")
+            upgrade = (self.headers.get("Upgrade") or "").lower()
+            if upgrade != "websocket" or not key:
+                self.send_error(400, "websocket upgrade required")
+                return
+            self.send_response(101, "Switching Protocols")
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", ws_accept(key))
+            self.end_headers()
+            self.close_connection = True
+            q = store.subscribe()
+            try:
+                while True:
+                    try:
+                        spot = q.get(timeout=1.0)
+                    except queue.Empty:
+                        continue
+                    self.wfile.write(
+                        ws_text_frame(json.dumps(spot).encode()))
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass           # client went away; thread is a daemon
+            finally:
+                store.unsubscribe(q)
 
         def log_message(self, *a):  # quiet
             pass

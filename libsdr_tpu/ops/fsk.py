@@ -47,11 +47,19 @@ class FSKDetector(Processor):
         fs = in_spec.rate_hz
         L = int(fs / self.baud)
         self.corr_len = L
+        b = in_spec.block_size
         i = np.arange(L)
         # Continuous-phase tone templates over one ring period
-        # (reference: src/fsk.cc:39-49; positive exponent).
-        self._mark = cplx.constant(np.exp(2j * np.pi * self.f_mark * i / fs))
-        self._space = cplx.constant(np.exp(2j * np.pi * self.f_space * i / fs))
+        # (reference: src/fsk.cc:39-49; positive exponent), pre-tiled to
+        # block + L so the per-block template T[(n0 + j) mod L] is ONE
+        # dynamic lane slice at the carried phase n0 — not a (B,)-index
+        # gather from an (L,) table, which lowers to a slow scatter/gather
+        # loop on the TPU VPU.
+        mark = np.exp(2j * np.pi * self.f_mark * i / fs)
+        space = np.exp(2j * np.pi * self.f_space * i / fs)
+        reps = -(-(b + L) // L)
+        self._mark = cplx.constant(np.tile(mark, reps)[:b + L])
+        self._space = cplx.constant(np.tile(space, reps)[:b + L])
         return in_spec.with_(dtype=jnp.uint8)
 
     def init_carry(self):
@@ -63,13 +71,19 @@ class FSKDetector(Processor):
                 cplx.zeros(ch + (L - 1,)))
 
     def apply(self, carry, x):
+        import jax
+
         n0, tail_m, tail_s = carry
         L = self.corr_len
         b = self.in_spec.block_size
-        idx = (n0 + jnp.arange(b, dtype=jnp.int32)) % L
         x = x.astype(jnp.float32)
-        u_m = self._mark[idx] * x    # Complex * real array
-        u_s = self._space[idx] * x
+        # template phase n0: one dynamic slice of the pre-tiled template
+        tm = Complex(jax.lax.dynamic_slice(self._mark.re, (n0,), (b,)),
+                     jax.lax.dynamic_slice(self._mark.im, (n0,), (b,)))
+        ts = Complex(jax.lax.dynamic_slice(self._space.re, (n0,), (b,)),
+                     jax.lax.dynamic_slice(self._space.im, (n0,), (b,)))
+        u_m = tm * x    # Complex * real array
+        u_s = ts * x
         ones = np.ones(L, np.float32)
 
         def windowed_sum(tail, u):

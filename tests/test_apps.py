@@ -168,6 +168,68 @@ def test_aprs_service(tmp_path):
     assert data[-1]["from"] == "EXT-1"
 
 
+def test_aprs_service_websocket_push():
+    """GET /ws upgrades per RFC 6455 (Sec-WebSocket-Accept =
+    base64(sha1(key + GUID)) — the handshake the reference's http.hh
+    protocol hook + sha1.cc were shipped for, src/http.hh:87-621) and
+    pushes stored spots plus each newly POSTed spot as JSON text frames."""
+    import base64
+    import hashlib
+    import socket
+
+    from libsdr_tpu.apps import aprs_service
+
+    store = aprs_service.APRSStore()
+    store.add_spot({"from": "PRE-1", "comment": "stored"})
+    httpd = aprs_service.serve(store, port=0)
+    port = httpd.server_address[1]
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    try:
+        s.sendall((f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+                   "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                   f"Sec-WebSocket-Key: {key}\r\n"
+                   "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += s.recv(4096)
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        assert b"101" in head.splitlines()[0]
+        want = base64.b64encode(
+            hashlib.sha1((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+                         .encode()).digest())
+        assert b"Sec-WebSocket-Accept: " + want in head
+
+        def read_frame(data):
+            while len(data) < 2:
+                data += s.recv(4096)
+            assert data[0] == 0x81          # FIN + text
+            n = data[1] & 0x7F
+            off = 2
+            if n == 126:
+                while len(data) < 4:
+                    data += s.recv(4096)
+                n = int.from_bytes(data[2:4], "big")
+                off = 4
+            while len(data) < off + n:
+                data += s.recv(4096)
+            return json.loads(data[off:off + n]), data[off + n:]
+
+        spot1, rest = read_frame(rest)      # pre-loaded stored spot
+        assert spot1["from"] == "PRE-1"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/update", method="POST",
+            data=json.dumps({"from": "LIVE-1", "comment": "pushed"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 204
+        spot2, rest = read_frame(rest)      # live push
+        assert spot2["from"] == "LIVE-1"
+    finally:
+        s.close()
+        httpd.shutdown()
+
+
 def test_psk31_rx_cli(tmp_path):
     from libsdr_tpu.apps import psk31_rx
     from libsdr_tpu.decode import varicode_encode_bits

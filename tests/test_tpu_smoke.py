@@ -362,3 +362,70 @@ def test_bitsync_pallas_vs_scan_on_chip():
         a = jax.tree_util.tree_leaves(run(True, mode))
         b = jax.tree_util.tree_leaves(run(False, mode))
         assert all(np.array_equal(x, y) for x, y in zip(a, b)), mode
+
+
+def test_afsk_fused_kernel_on_chip():
+    """Fused AFSK front end (FIR + FM demod + FSK correlator in one MXU
+    pass, ops/afsk_fused.py) vs the unfused XLA chain on a real AFSK1200
+    AX.25 capture: symbols agree and the frame decodes identically."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core import fuse
+    from libsdr_tpu.core.ragged import Ragged, compact
+    from libsdr_tpu.decode import AX25Decoder, ax25_frame_bits
+    from libsdr_tpu.ops import (BitStream, FMDemod, FSKDetector, IQBaseBand,
+                                siggen)
+
+    fs, n_ch, block = 192_000.0, 64, 1 << 16
+    info = b"!4903.50N/07201.75W-onchip"
+    frame_bits = ax25_frame_bits("N0CALL", "APRS", info, n_flags=40)
+    line, cur = [], 0
+    for bb in frame_bits:              # NRZI
+        if bb == 0:
+            cur ^= 1
+        line.append(cur)
+    audio = siggen.fsk_modulate(48000.0, np.asarray(line, np.uint8),
+                                1200.0, 1200.0, 2200.0).real
+    aud_up = np.repeat(audio, 4)
+    n = -(-len(aud_up) // block) * block
+    aud_up = np.pad(aud_up, (512, n - len(aud_up) - 512))
+    inst = 2 * np.pi * (24e3 / fs) + 2 * np.pi * (3e3 / fs) * aud_up
+    iq = np.exp(1j * np.cumsum(inst)).astype(np.complex64)
+    x = np.broadcast_to(iq, (n_ch, len(iq))).copy()
+
+    def run(fused):
+        p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                 out_rate=48e3, design="textbook"),
+                      FMDemod(), FSKDetector(1200.0, 1200.0, 2200.0)])
+        if not fused:
+            orig = fuse.fuse_stages
+            fuse.fuse_stages = lambda s: s
+            try:
+                p.bind(StreamSpec(np.complex64, fs, block,
+                                  channels=(n_ch,)))
+            finally:
+                fuse.fuse_stages = orig
+        else:
+            p.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
+            from libsdr_tpu.ops.afsk_fused import AFSKFrontendFused
+            assert type(p.stages[0]) is AFSKFrontendFused, p.stages
+        step = p.compile()
+        c = p.init_carry()
+        outs = []
+        for i in range(x.shape[1] // block):
+            c, y = step(c, cplx.as_block(x[:, i * block:(i + 1) * block]))
+            outs.append(np.asarray(y))
+        return np.concatenate(outs, axis=-1)
+
+    sf = run(True)
+    su = run(False)
+    agree = (sf == su).mean()
+    assert agree > 0.999, agree
+
+    # the fused symbol stream decodes the transmitted frame
+    bs = BitStream(1200.0, mode="transition")
+    bs.bind(StreamSpec(np.uint8, 48e3, sf.shape[-1], channels=(n_ch,)))
+    _, bits = bs.apply(bs.init_carry(), jnp.asarray(sf))
+    b0 = compact(Ragged(np.asarray(bits.data)[0], np.asarray(bits.valid)[0]))
+    dec = AX25Decoder()
+    dec.process(b0)
+    assert dec.messages and dec.messages[0].payload.endswith(info)

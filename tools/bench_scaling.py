@@ -74,6 +74,8 @@ def main() -> None:
                     if jax.default_backend() == "cpu" else
                     "real accelerator mesh")}
     print(json.dumps(out, indent=2))
+    from tools._artifact import write_artifact
+    write_artifact("SCALING", out)
 
 
 if __name__ == "__main__":
