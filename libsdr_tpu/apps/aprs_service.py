@@ -38,16 +38,54 @@ def ws_accept(key: str) -> str:
     return base64.b64encode(digest).decode("ascii")
 
 
-def ws_text_frame(payload: bytes) -> bytes:
-    """One unmasked server->client text frame (RFC 6455 §5.2)."""
+def ws_frame(opcode: int, payload: bytes) -> bytes:
+    """One unmasked server->client frame (RFC 6455 §5.2)."""
     n = len(payload)
     if n < 126:
-        head = bytes([0x81, n])
+        head = bytes([0x80 | opcode, n])
     elif n < 1 << 16:
-        head = bytes([0x81, 126]) + n.to_bytes(2, "big")
+        head = bytes([0x80 | opcode, 126]) + n.to_bytes(2, "big")
     else:
-        head = bytes([0x81, 127]) + n.to_bytes(8, "big")
+        head = bytes([0x80 | opcode, 127]) + n.to_bytes(8, "big")
     return head + payload
+
+
+def ws_text_frame(payload: bytes) -> bytes:
+    """One unmasked server->client text frame (RFC 6455 §5.2)."""
+    return ws_frame(0x1, payload)
+
+
+def ws_parse_frames(buf: bytes):
+    """Parse complete (possibly masked) frames from ``buf``; returns
+    ([(opcode, payload), ...], unconsumed_rest) (RFC 6455 §5.2-5.3)."""
+    frames = []
+    while len(buf) >= 2:
+        opcode = buf[0] & 0x0F
+        masked = bool(buf[1] & 0x80)
+        n = buf[1] & 0x7F
+        off = 2
+        if n == 126:
+            if len(buf) < 4:
+                break
+            n = int.from_bytes(buf[2:4], "big")
+            off = 4
+        elif n == 127:
+            if len(buf) < 10:
+                break
+            n = int.from_bytes(buf[2:10], "big")
+            off = 10
+        need = off + (4 if masked else 0) + n
+        if len(buf) < need:
+            break
+        if masked:
+            mask = buf[off:off + 4]
+            raw = buf[off + 4:need]
+            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(raw))
+        else:
+            payload = buf[off:need]
+        frames.append((opcode, payload))
+        buf = buf[need:]
+    return frames, buf
 
 
 def _load_page() -> bytes:
@@ -74,10 +112,12 @@ class APRSStore:
 
     def subscribe(self) -> "queue.Queue[dict]":
         """Register a live-push subscriber: the queue is pre-loaded with
-        every stored spot and then receives each new one."""
-        q: queue.Queue = queue.Queue()
+        every stored spot and then receives each new one.  Bounded — a
+        stalled client drops its OLDEST pending spots rather than growing
+        the server's memory without limit."""
+        q: queue.Queue = queue.Queue(maxsize=4096)
         with self._lock:
-            for s in self._spots:
+            for s in self._spots[-4096:]:
                 q.put(s)
             self._subs.append(q)
         return q
@@ -91,7 +131,17 @@ class APRSStore:
         with self._lock:
             self._spots.append(spot)
             for q in self._subs:
-                q.put(spot)
+                try:
+                    q.put_nowait(spot)
+                except queue.Full:      # slow consumer: drop its oldest
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    try:
+                        q.put_nowait(spot)
+                    except queue.Full:
+                        pass
 
     def add(self, msg: APRSMessage) -> None:
         spot = {
@@ -179,15 +229,43 @@ def make_handler(store: APRSStore):
             self.end_headers()
             self.close_connection = True
             q = store.subscribe()
+            # Full-duplex loop: push queued spots, AND read the socket so
+            # client control frames are honored — Ping gets a Pong and
+            # Close gets the closing-handshake reply (RFC 6455 §5.5.1-2);
+            # a write-only handler would leave a browser's close() hanging
+            # in CLOSING until its timeout.
+            self.connection.settimeout(0.25)
+            inbuf = b""
             try:
                 while True:
                     try:
-                        spot = q.get(timeout=1.0)
+                        while True:
+                            spot = q.get_nowait()
+                            self.wfile.write(
+                                ws_text_frame(json.dumps(spot).encode()))
                     except queue.Empty:
-                        continue
-                    self.wfile.write(
-                        ws_text_frame(json.dumps(spot).encode()))
+                        pass
                     self.wfile.flush()
+                    try:
+                        data = self.connection.recv(4096)
+                        if not data:
+                            break              # client hung up
+                        inbuf += data
+                    except TimeoutError:
+                        continue
+                    frames, inbuf = ws_parse_frames(inbuf)
+                    done = False
+                    for opcode, payload in frames:
+                        if opcode == 0x8:      # Close: echo + finish
+                            self.wfile.write(ws_frame(0x8, payload[:125]))
+                            self.wfile.flush()
+                            done = True
+                            break
+                        if opcode == 0x9:      # Ping -> Pong, same payload
+                            self.wfile.write(ws_frame(0xA, payload))
+                            self.wfile.flush()
+                    if done:
+                        break
             except (BrokenPipeError, ConnectionResetError, OSError):
                 pass           # client went away; thread is a daemon
             finally:

@@ -51,20 +51,20 @@ def scan_blocks(blocks, fs: float, n_channels: int, block: int,
     (numpy complex or planar Complex, e.g. bf16 planes straight off the
     u8 wire via io.ingest.stream_raw_iq_bf16).  Returns
     {channel_index: [POCSAGMessage, ...]}."""
-    import math
-
     import jax
     from jax.sharding import Mesh
+    from libsdr_tpu.core.ragged import min_valid_gap
     from libsdr_tpu.parallel.wideband import build_scanner_step
 
     m = n_channels
     t_full = block // m
     # Windowed on-device bit compaction: the PLL emits bits at least
-    # ~fs_ch/baud samples apart, so a window up to that gap is a LOSSLESS
+    # min_valid_gap samples apart, so a window up to that gap is a LOSSLESS
     # T/w decimation of the bit stream — no scatter, no capacity to size
     # (and no overflow to detect).  Largest power-of-two window that
-    # divides T and respects the gap.
-    gap = int(math.ceil(1.0 / ((baud / (fs / m)) * 1.005)))
+    # divides T and respects the gap (omega_max = baud/fs_ch * 1.005,
+    # the BitStream +0.5% clip).
+    gap = min_valid_gap((baud / (fs / m)) * 1.005)
     w = 0
     for cand in (64, 32, 16, 8, 4, 2):
         if t_full % cand == 0 and cand <= gap:

@@ -85,46 +85,27 @@ def compact_device(r, capacity: int):
     return out[..., :capacity], valid.sum(axis=-1)
 
 
-def compact_windows(r, window: int) -> "Ragged":
-    """LOSSLESS on-device decimation of a ragged stream whose valid slots
-    are guaranteed >= ``window`` samples apart: fold time into
-    (T/window, window) and reduce each window to its (at most one) valid
-    item.  Returns a Ragged with T/window slots.
+def min_valid_gap(bitstream_or_omega) -> int:
+    """Guaranteed minimum sample gap between valid bits of a bit-sync PLL
+    (a bound BitStream, or its omega_max as a float).
 
-    This replaces the scatter in :func:`compact_device` for bit-sync PLL
-    output — the PLL's bounded omega (omega_max = baud/fs * 1.005,
-    ops/bitsync.py) means consecutive sampled bits are at least
-    floor(1/omega_max) ~ fs/baud samples apart, so any ``window`` <= that
-    gap loses nothing and preserves order.  Measured at the 1024-channel
-    scanner block (65536 x 1024): the scatter path costs ~510 ms, this
-    windowed reduce ~2 ms, and the readback shrinks by the same factor.
+    The PLL advances phase by omega <= omega_max per step and emits when
+    phase wraps 1.0; after an emission the residual phase is STRICTLY
+    below omega_max, so m further steps can emit only when
+    m*omega_max > 1 - omega_max, i.e. consecutive emissions are
+    >= floor(1/omega_max) steps apart (exactly 1/omega_max when it is an
+    integer).  NOT ceil: with residual just under omega_max the next bit
+    lands one sample earlier than ceil would suggest, so sizing a
+    compaction window by ceil can merge two valid bits.
 
-    Use :func:`min_valid_gap` to size ``window`` from a BitStream.
-    """
-    import jax.numpy as jnp
-
-    data, valid = r.data, r.valid.astype(bool)
-    t = data.shape[-1]
-    if t % window:
-        raise ValueError(f"compact_windows: T={t} not divisible by "
-                         f"window={window}")
-    shape = data.shape[:-1] + (t // window, window)
-    # <= 1 valid item per window, so a masked sum IS that item (exact for
-    # any dtype, not just 0/1 bits).
-    dw = jnp.sum(jnp.where(valid.reshape(shape), data.reshape(shape), 0),
-                 axis=-1).astype(data.dtype)
-    vw = jnp.any(valid.reshape(shape), axis=-1)
-    return Ragged(dw, vw)
-
-
-def min_valid_gap(bitstream) -> int:
-    """Guaranteed minimum sample gap between valid bits of a bound
-    BitStream: the PLL emits when its phase accumulator (increment
-    <= omega_max per step) wraps 1.0, so consecutive emissions are
-    >= ceil(1/omega_max) steps apart."""
+    A window of w samples is lossless iff two bits can never share one
+    window, i.e. w <= this gap (max in-window separation is w - 1)."""
     import math
 
-    return int(math.ceil(1.0 / bitstream._omega_max))
+    om = (float(bitstream_or_omega)
+          if isinstance(bitstream_or_omega, (int, float))
+          else float(bitstream_or_omega._omega_max))
+    return int(math.floor(1.0 / om))
 
 
 def concat_host(blocks) -> "Ragged":

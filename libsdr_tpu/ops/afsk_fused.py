@@ -55,11 +55,11 @@ class AFSKFrontendFused(FMBasebandFused):
         # exponent), indexed by absolute audio sample index mod L.
         mark = np.exp(2j * np.pi * self.fsk.f_mark * i / audio_fs)
         space = np.exp(2j * np.pi * self.fsk.f_space * i / audio_fs)
-        self._mark = cplx.constant(mark)
-        self._space = cplx.constant(space)
-        # Kernel-side template block: rows [m_re, m_im, s_re, s_im, 0...]
-        # tiled to n_audio + L so a dynamic lane slice at the carried
-        # phase n0 in [0, L) yields T[(n0 + j) mod L] for j < n_audio.
+        # Template block: rows [m_re, m_im, s_re, s_im, 0...] tiled to
+        # n_audio + L so a dynamic lane slice at the carried phase n0 in
+        # [0, L) yields T[(n0 + j) mod L] for j < n_audio — used by BOTH
+        # the kernel and the XLA fallback (a (B,)-index gather from an
+        # (L,) table lowers to a slow scatter/gather loop on the TPU VPU).
         reps = -(-(n_audio + L) // L)
         tiled = np.zeros((8, reps * L), np.float32)
         tiled[0] = np.tile(mark.real, reps)
@@ -125,9 +125,9 @@ class AFSKFrontendFused(FMBasebandFused):
         y, new_tail = fir_overlap_save(self._g2, x, tail, stride=d,
                                        offset=offset)
         audio = self._demod(y, y_prev)
-        idx = (n0 + jnp.arange(n_audio, dtype=jnp.int32)) % L
-        u_m = self._mark[idx] * audio
-        u_s = self._space[idx] * audio
+        tpl = jax.lax.dynamic_slice(self._tpl, (0, n0), (8, n_audio))
+        u_m = Complex(tpl[0], tpl[1]) * audio
+        u_s = Complex(tpl[2], tpl[3]) * audio
         ones = jnp.asarray(np.ones(L, np.float32))
 
         def windowed_sum(wtail, u):

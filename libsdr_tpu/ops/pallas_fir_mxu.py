@@ -74,27 +74,41 @@ _VMEM_BUDGET = 13_500_000
 _OK_DTYPES = (jnp.float32, jnp.bfloat16)
 
 
-def _scratch_bytes(stride: int, ct: int, ft: int, itemsize: int) -> int:
+def _scratch_bytes(stride: int, ct: int, ft: int, itemsize: int,
+                   afsk: bool = False) -> int:
     """Declared VMEM bytes for one kernel invocation (both planar FIR
     variants are bounded by the same buffers; the fm variant's audio output
-    is half the fir variant's two planes)."""
+    is half the fir variant's two planes).  ``afsk`` adds the fused-FSK-
+    correlator-only buffers (tone templates, window matrices, u_prev/u_last
+    carry blocks, u scratch) so the VMEM gate sizes ft against what the
+    afsk mode actually declares, not just the FIR baseline."""
     sd = _S * stride
     ncols = 2 * _S + 2 * _NSP_PAD
     main = 2 * 2 * ct * ft * sd * itemsize      # 2 slots x 2 planes
     halo = 2 * 2 * ct * sd * itemsize
     mat = 2 * sd * ncols * 4                    # pipelined input block (x2)
     outs = 2 * 2 * ct * ft * _S * 4             # pipelined outputs (x2)
-    return main + halo + mat + outs
+    total = main + halo + mat + outs
+    if afsk:
+        tpl = 2 * 8 * ft * _S * 4               # tone template block (x2)
+        wmat = 2 * 2 * _S * _S * 4              # [W; Wp] (+ bf16 copies)
+        uprev = 2 * ct * 4 * _S * 4             # u_prev in (x2)
+        ulast = 2 * ct * 4 * _S * 4             # u_last out (x2)
+        u_s = 4 * ct * _S * 4                   # correlator scratch
+        total += tpl + wmat + uprev + ulast + u_s
+    return total
 
 
-def _ft_for(stride: int, channels: int, block: int, itemsize: int) -> int:
+def _ft_for(stride: int, channels: int, block: int, itemsize: int,
+            afsk: bool = False) -> int:
     """Largest frames-per-step in {8, 4, 2, 1} whose scratch fits the VMEM
     budget and that tiles the block (0 when none does)."""
     ct = min(channels, _CT)
     sd = _S * stride
     for ft in (8, 4, 2, 1):
         if block % (ft * sd) == 0 and block // (ft * sd) >= 2 \
-                and _scratch_bytes(stride, ct, ft, itemsize) <= _VMEM_BUDGET:
+                and _scratch_bytes(stride, ct, ft, itemsize,
+                                   afsk=afsk) <= _VMEM_BUDGET:
             return ft
     return 0
 
@@ -731,10 +745,14 @@ def mxu_afsk_supported(taps_len: int, stride: int, channels: int,
                        dtype=jnp.float32) -> bool:
     """Gate for the fused AFSK mode: the exact-tiling FIR constraints plus
     a correlator that spans at most one previous frame (the windowed sum is
-    resolved with ONE previous-frame matmul, mirroring the FIR spill)."""
+    resolved with ONE previous-frame matmul, mirroring the FIR spill).
+    VMEM is sized against the afsk mode's FULL scratch set (correlator
+    buffers included), which the plain fir2 gate does not count."""
+    itemsize = jnp.dtype(dtype).itemsize
     return (2 <= corr_len <= _S
             and mxu_fir2_supported(taps_len, stride, channels, block,
-                                   dtype=dtype))
+                                   dtype=dtype)
+            and _ft_for(stride, channels, block, itemsize, afsk=True) > 0)
 
 
 def _build_wmat(corr_len: int) -> np.ndarray:
@@ -1217,7 +1235,7 @@ def fir_afsk_exact(x: Complex, taps: np.ndarray, stride: int,
     c, b = x.re.shape
     t = taps.shape[0]
     sd = _S * stride
-    ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize)
+    ft = _ft_for(stride, c, b, jnp.dtype(x.re.dtype).itemsize, afsk=True)
     pad = sd - (t - 1)
     zpad = jnp.zeros((c, pad), x.re.dtype)
     tpr = jnp.concatenate([zpad, tail.re.astype(x.re.dtype)], axis=-1)

@@ -225,6 +225,27 @@ def test_aprs_service_websocket_push():
             assert r.status == 204
         spot2, rest = read_frame(rest)      # live push
         assert spot2["from"] == "LIVE-1"
+
+        def masked(opcode, payload):
+            mask = b"\x11\x22\x33\x44"
+            body = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            return bytes([0x80 | opcode, 0x80 | len(payload)]) + mask + body
+
+        def read_control(data):
+            while len(data) < 2:
+                data += s.recv(4096)
+            op, n = data[0] & 0x0F, data[1] & 0x7F
+            while len(data) < 2 + n:
+                data += s.recv(4096)
+            return op, data[2:2 + n], data[2 + n:]
+
+        s.sendall(masked(0x9, b"hi"))       # Ping -> Pong, same payload
+        op, payload, rest = read_control(rest)
+        assert (op, payload) == (0xA, b"hi")
+        s.sendall(masked(0x8, b"\x03\xe8"))  # Close -> echoed Close reply
+        op, payload, rest = read_control(rest)
+        assert (op, payload) == (0x8, b"\x03\xe8")
+        assert s.recv(4096) == b""          # server finished the handshake
     finally:
         s.close()
         httpd.shutdown()

@@ -611,6 +611,39 @@ def test_afsk_fused_op_blocking_invariance_and_parity(rng):
     assert (big == ref).mean() > 0.995, (big == ref).mean()
 
 
+def test_afsk_fused_xla_fallback_matches_unfused(rng):
+    """A narrow bank (4 channels < the 64-row kernel floor) installs
+    AFSKFrontendFused but takes its XLA fallback path (pre-tiled-template
+    dynamic slice, no gather): symbols must equal the unfused chain's
+    exactly — same math, same ops, just fused bookkeeping."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import FMDemod, FSKDetector, IQBaseBand
+    from libsdr_tpu.ops.afsk_fused import AFSKFrontendFused
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    fs, nch, blk = 192_000.0, 4, 8192
+    x = (rng.normal(size=(nch, 2 * blk)) + 1j * rng.normal(size=(nch, 2 * blk))
+         ).astype(np.complex64)
+
+    def run(mode):
+        p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                 out_rate=48e3, design="textbook"),
+                      FMDemod(), FSKDetector(1200.0, 1200.0, 2200.0)])
+        with kernel_mode(mode):
+            p.bind(StreamSpec(np.complex64, fs, blk, channels=(nch,)))
+            if mode == "interpret":
+                assert type(p.stages[0]) is AFSKFrontendFused
+            step = p.compile()
+            c = p.init_carry()
+            outs = []
+            for i in range(2):
+                c, y = step(c, cplx.as_block(x[:, i * blk:(i + 1) * blk]))
+                outs.append(np.asarray(y))
+        return np.concatenate(outs, axis=-1)
+
+    np.testing.assert_array_equal(run("interpret"), run("off"))
+
+
 def test_afsk_fused_decodes_ax25(rng):
     """End to end on the kernel path: an FM-modulated AFSK1200 AX.25 frame
     at IQ rate decodes to the identical frame through the fused front end

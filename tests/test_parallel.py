@@ -257,6 +257,49 @@ def test_scanner_compact_window_lossless():
                            m, block, fs, compact_window=64)  # > PLL gap
 
 
+def test_min_valid_gap_matches_brute_force_pll():
+    """min_valid_gap is floor(1/omega_max), NOT ceil: after an emission the
+    PLL's residual phase is strictly below omega_max, so the next bit can
+    land one sample sooner than ceil predicts.  At constant omega the
+    emission recurrence (phase += om; emit & wrap at 1.0) has closed form —
+    emission k of integer crossing m happens at k = ceil((m - r0)/om) — so
+    brute-force every residual: no observed gap may be below the bound, and
+    the bound must be TIGHT (observed) so the compaction window is not
+    undersized either."""
+    from libsdr_tpu.core.ragged import min_valid_gap
+
+    for fs_ch, baud in ((38_400.0, 1200.0), (25_000.0, 1200.0),
+                        (48_000.0, 1200.0), (9_600.0, 300.0)):
+        om = (baud / fs_ch) * 1.005
+        gap = min_valid_gap(om)
+        crossings = np.arange(1, 2000, dtype=np.float64)
+        observed = set()
+        # residual r0 in [0, om): include the near-om extreme that breaks
+        # the ceil bound.
+        for r0 in np.concatenate([np.linspace(0.0, om, 64, endpoint=False),
+                                  [om * (1 - 1e-12)]]):
+            ks = np.ceil((crossings - r0) / om).astype(np.int64)
+            observed.update(np.unique(np.diff(ks)).tolist())
+        assert min(observed) == gap, (fs_ch, baud, gap, sorted(observed))
+
+
+def test_scanner_window_respects_corrected_gap():
+    """The rtl_sdr-class config (fs_ch=38.4 kHz, 1200 baud) has
+    1/omega_max = 31.84: the guaranteed gap is 31, so compact_window=32
+    (which the stale ceil bound accepted) must be REJECTED — two bits 31
+    apart could share one 32-sample window and merge."""
+    from libsdr_tpu.core.ragged import min_valid_gap
+    from libsdr_tpu.parallel.wideband import build_scanner_step
+
+    m = 16
+    fs = m * 38_400.0
+    assert min_valid_gap((1200.0 / 38_400.0) * 1.005) == 31
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
+    with pytest.raises(ValueError):
+        build_scanner_step(mesh, m, m * 1024, fs, compact_window=32)
+    build_scanner_step(mesh, m, m * 1024, fs, compact_window=16)  # ok
+
+
 def test_hot_path_collective_inventory():
     """Hardware-free scale-out evidence: the compiled 8-device wideband and
     scanner steps carry EXACTLY the designed collectives on the hot path —
