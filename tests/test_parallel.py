@@ -84,6 +84,44 @@ def test_gspmd_pipeline_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4)
 
 
+def test_gspmd_step_never_traces_pallas(rng):
+    """A pallas_call has no GSPMD partitioning rule: on a >1-device mesh
+    XLA would wrap it in an all-gather of the full operands (or fail to
+    compile) — per-chip throughput would collapse ~8x the moment a second
+    chip joins.  shard_pipeline_step therefore forces kernel dispatch OFF
+    for the partitioned trace.  Assert it structurally: even with kernels
+    force-enabled (interpret mode, wide bank, kernel-supported shapes) the
+    sharded step's jaxpr contains NO pallas_call, while the same pipeline
+    traced unsharded contains at least one."""
+    import jax
+
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    n_ch, fs, b = 128, 192_000.0, 16384
+    x = (rng.normal(size=(n_ch, b)) + 1j * rng.normal(size=(n_ch, b))
+         ).astype(np.complex64)
+
+    def build():
+        p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                 out_rate=48e3, design="textbook"),
+                      FMDemod()])
+        with kernel_mode("interpret"):
+            p.bind(StreamSpec(np.complex64, fs, b, channels=(n_ch,)))
+        return p
+
+    with kernel_mode("interpret"):
+        p1 = build()
+        solo = jax.make_jaxpr(p1.apply)(p1.init_carry(), cplx.as_block(x))
+        assert "pallas_call" in str(solo), "fixture lost its kernel path"
+
+        p2 = build()
+        mesh = make_mesh(n_channel=4, n_time=2)
+        step, place, carry = shard_pipeline_step(p2, mesh)
+        sharded = jax.make_jaxpr(
+            lambda c, xx: step.__wrapped__(c, xx))(carry, place(x))
+        assert "pallas_call" not in str(sharded)
+
+
 def test_wideband_sharded_pipeline():
     """Sharded channelizer+demod == local channelizer+demod, and an FM tone
     in channel c demodulates correctly."""
