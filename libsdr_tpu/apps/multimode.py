@@ -50,7 +50,7 @@ from libsdr_tpu.utils.options import add_source_args, common_parser, load_source
 MODES = ("pocsag", "ax25", "rtty", "psk31")
 
 
-def _mode_stages(mode: str, ch_rate: float):
+def _mode_stages(mode: str):
     if mode == "pocsag":
         return [FMDemod(), ASKDetector(invert=True),
                 BitStream(1200.0, mode="normal")]
@@ -100,7 +100,7 @@ def build_bank(fs: float, block: int, n_channels: int,
 
     sub = {}
     for mode, idxs in groups.items():
-        p = Pipeline(_mode_stages(mode, ch_rate), name=f"bank_{mode}")
+        p = Pipeline(_mode_stages(mode), name=f"bank_{mode}")
         p.bind(StreamSpec(np.complex64, ch_rate, t_full,
                           channels=(len(idxs),)))
         sub[mode] = p

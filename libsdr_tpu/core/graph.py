@@ -40,7 +40,6 @@ class Pipeline(Processor):
         self._step = None
         self._step_donate = None
         self._step_chunked = None
-        self._step_chunked_k = None
 
     # -- spec propagation (the "Config propagation" pass) ---------------------
 
@@ -108,10 +107,11 @@ class Pipeline(Processor):
             self._step_donate = donate_carry
         return self._step
 
-    def compile_chunked(self, k: int):
+    def compile_chunked(self):
         """Jitted ``step(carry, xs) -> (carry, ys)`` over K STACKED blocks
         (leading axis K) via ``lax.scan`` — ONE device dispatch processes K
-        pipeline blocks.
+        pipeline blocks.  K is the stacked leading-axis length (jit
+        retraces per shape, so one compiled step serves any K).
 
         Why: every dispatch through a slow host link pays a fixed ~2 ms
         launch floor (measured on this environment's tunnel); a streaming
@@ -121,13 +121,11 @@ class Pipeline(Processor):
         the scan's per-step dynamic-slice/stack copies grow with block
         size (~2.6 ms per 128 MB step) and dispatch is already amortized.
         """
-        k = int(k)
-        if self._step_chunked is None or self._step_chunked_k != k:
+        if self._step_chunked is None:
             # Fresh lambda per compile (see compile()).
             self._step_chunked = jax.jit(
                 lambda carry, xs: jax.lax.scan(
                     lambda c, x: self.apply(c, x), carry, xs))
-            self._step_chunked_k = k
         return self._step_chunked
 
     def switch_stages(self, new_stages: Sequence[Processor], old_carry):

@@ -71,7 +71,7 @@ def run_pipeline(pipeline: Pipeline,
     """
     k = int(chunks_per_dispatch)
     step = pipeline.compile()
-    stepk = pipeline.compile_chunked(k) if k > 1 else None
+    stepk = pipeline.compile_chunked() if k > 1 else None
     if carry is None:
         carry = pipeline.init_carry()
     ragged = pipeline.out_spec.ragged if pipeline.is_bound else False

@@ -125,8 +125,8 @@ def build_wideband_step(mesh: Mesh, n_channels: int, block: int,
     else:
         body = jax.shard_map(
             step_local, mesh=mesh,
-            in_specs=(_carry_specs(axis), P(axis)),
-            out_specs=(_carry_specs(axis), P(None, axis)),
+            in_specs=(_carry_specs(), P(axis)),
+            out_specs=(_carry_specs(), P(None, axis)),
             check_vma=False,
         )
 
@@ -156,7 +156,7 @@ def _taps(m: int, p: int):
     return taps_np, jnp.asarray(taps_np)
 
 
-def _carry_specs(axis: str):
+def _carry_specs():
     # (P+1)-frame history + y[-1] lane seed, both replicated (they describe
     # the GLOBAL stream boundary; shard 0 consumes them).
     return (P(), P())
@@ -356,8 +356,8 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
         bs_carry_spec = jax.tree_util.tree_map(leaf_spec, bs_g.init_carry())
         step = jax.jit(jax.shard_map(
             step_local, mesh=mesh,
-            in_specs=((_carry_specs(axis), bs_carry_spec), P(axis)),
-            out_specs=((_carry_specs(axis), bs_carry_spec),
+            in_specs=((_carry_specs(), bs_carry_spec), P(axis)),
+            out_specs=((_carry_specs(), bs_carry_spec),
                        Ragged(P(axis, None), P(axis, None))),
             check_vma=False,
         ))

@@ -52,7 +52,7 @@ def main() -> None:
             step = p.compile()
             xs = x1
         else:
-            step = p.compile_chunked(k)
+            step = p.compile_chunked()
             xs = cplx.Complex(
                 jnp.broadcast_to(x1.re, (k,) + x1.re.shape),
                 jnp.broadcast_to(x1.im, (k,) + x1.im.shape))
