@@ -29,9 +29,9 @@ import numpy as np
 from libsdr_tpu.core import cplx
 from libsdr_tpu.core.cplx import Complex
 from libsdr_tpu.core.stream import StreamSpec
-from libsdr_tpu.ops.fir import _conv1d_real, fir_overlap_save
+from libsdr_tpu.ops.fir import fir_overlap_save
 from libsdr_tpu.ops.fm_fused import FMBasebandFused
-from libsdr_tpu.ops.fsk import FSKDetector
+from libsdr_tpu.ops.fsk import FSKDetector, sliding_sum
 
 
 class AFSKFrontendFused(FMBasebandFused):
@@ -128,16 +128,8 @@ class AFSKFrontendFused(FMBasebandFused):
         tpl = jax.lax.dynamic_slice(self._tpl, (0, n0), (8, n_audio))
         u_m = Complex(tpl[0], tpl[1]) * audio
         u_s = Complex(tpl[2], tpl[3]) * audio
-        ones = jnp.asarray(np.ones(L, np.float32))
-
-        def windowed_sum(wtail, u):
-            full = cplx.concatenate([wtail, u], axis=-1)
-            sw = Complex(_conv1d_real(full.re, ones, 1),
-                         _conv1d_real(full.im, ones, 1))
-            return sw, full[..., full.shape[-1] - (L - 1):]
-
-        s_m, um_tail = windowed_sum(um_tail, u_m)
-        s_s, us_tail = windowed_sum(us_tail, u_s)
+        s_m, um_tail = sliding_sum(um_tail, u_m, L)
+        s_s, us_tail = sliding_sum(us_tail, u_s, L)
         disc = s_m.abs2() - s_s.abs2()          # src/fsk.cc:81-86
         sym = (disc > 0).astype(jnp.uint8)
         return (new_tail, y[..., -1], (n0 + n_audio) % L,

@@ -26,6 +26,70 @@ from libsdr_tpu.core.cplx import Complex
 from libsdr_tpu.core.stream import StreamSpec
 from libsdr_tpu.ops.fir import _conv1d_real
 
+_S = 128          # frame width for the banded-matmul sliding sum
+_WMAT_CACHE: dict = {}
+
+
+def _window_mat(L: int) -> np.ndarray:
+    """((npv+1)*S, S) 0/1 band matrix for the length-L sliding sum over
+    S-sample frames with npv = ceil((L-1)/S) previous frames of context:
+    with ``w`` one row of stacked frames [G[f] .. G[f+npv]] (current frame
+    LAST), ``w @ M`` gives s[o] = sum of the L samples ending at the
+    current frame's offset o.  A length-L boxcar conv computes the same
+    sums, but XLA lowers small-feature convs to VPU rate on TPU (and they
+    are slow on CPU); the banded matmul runs on the MXU / GEMM."""
+    npv = -(-(L - 1) // _S)
+    rows = (npv + 1) * _S
+    m = np.zeros((rows, _S), np.float32)
+    for o in range(_S):
+        end = npv * _S + o                 # absolute index of output o
+        m[max(0, end - L + 1):end + 1, o] = 1.0
+    return m
+
+
+def sliding_sum(tail: Complex, u: Complex, L: int):
+    """Length-L sliding sum over ``concat([tail, u])`` ending at each
+    sample of ``u`` (the FSK correlator's ring sum, src/fsk.cc:68-87).
+    Returns (sums (..., B) Complex, new_tail (..., L-1) Complex).
+
+    128-aligned blocks take the banded matmul (one MXU/GEMM pass over
+    S-sample frames with ceil((L-1)/S) frames of context); others fall
+    back to the length-L boxcar conv (slow-on-TPU VPU path)."""
+    import jax
+
+    b = u.shape[-1]
+    if b % _S == 0:
+        from libsdr_tpu.ops.pallas_fir_mxu import to_device_cached
+        mat = to_device_cached(_WMAT_CACHE, L, lambda: _window_mat(L))
+        npv = -(-(L - 1) // _S)
+        f = b // _S
+        prec = jax.lax.Precision.HIGHEST
+
+        def sums(tail_p, up):
+            lead = jnp.zeros(
+                up.shape[:-1] + (npv * _S - (L - 1),), up.dtype)
+            g = jnp.concatenate([lead, tail_p, up], axis=-1)
+            # Slice the FLAT stream, then reshape the piece — slicing a
+            # reshape materializes the whole reshaped array on this
+            # backend (~3 ms per 128 MB, measured).
+            w = jnp.concatenate(
+                [g[..., i * _S:(i + f) * _S].reshape(
+                    up.shape[:-1] + (f, _S))
+                 for i in range(npv + 1)],
+                axis=-1)                    # (..., F, (npv+1)S)
+            s = jnp.matmul(w, mat, precision=prec)
+            return s.reshape(up.shape)
+
+        s = Complex(sums(tail.re, u.re), sums(tail.im, u.im))
+        new_tail = cplx.concatenate([tail, u], axis=-1)[..., -(L - 1):]
+        return s, new_tail
+
+    ones = jnp.asarray(np.ones(L, np.float32))
+    full = cplx.concatenate([tail, u], axis=-1)
+    s = Complex(_conv1d_real(full.re, ones, 1),
+                _conv1d_real(full.im, ones, 1))
+    return s, full[..., full.shape[-1] - (L - 1):]
+
 
 class FSKDetector(Processor):
     """Mark/space dual correlator -> symbol (sub-bit) stream at input rate.
@@ -84,17 +148,9 @@ class FSKDetector(Processor):
                      jax.lax.dynamic_slice(self._space.im, (n0,), (b,)))
         u_m = tm * x    # Complex * real array
         u_s = ts * x
-        ones = np.ones(L, np.float32)
 
-        def windowed_sum(tail, u):
-            full = cplx.concatenate([tail, u], axis=-1)
-            s = Complex(_conv1d_real(full.re, jnp.asarray(ones), 1),
-                        _conv1d_real(full.im, jnp.asarray(ones), 1))
-            new_tail = full[..., full.shape[-1] - (L - 1):]
-            return s, new_tail
-
-        s_m, tail_m = windowed_sum(tail_m, u_m)
-        s_s, tail_s = windowed_sum(tail_s, u_s)
+        s_m, tail_m = sliding_sum(tail_m, u_m, L)
+        s_s, tail_s = sliding_sum(tail_s, u_s, L)
         f = s_m.abs2() - s_s.abs2()  # reference: src/fsk.cc:81-86
         sym = (f > 0).astype(jnp.uint8)
         return ((n0 + b) % L, tail_m, tail_s), sym

@@ -284,6 +284,49 @@ def test_fsk_detector_and_bitstream(rng):
     assert want in got
 
 
+def test_fsk_detector_matmul_path_matches_conv(rng):
+    """128-aligned blocks take the banded-matmul sliding sum (MXU/GEMM,
+    ops/fsk.py::_window_mat); unaligned blocks take the boxcar conv.  Both
+    compute the same L-term direct sums in float32, so symbols agree except
+    at near-zero discriminator ties (different accumulation order), and the
+    matmul path is bit-invariant to the block split.  Covers L > frame
+    (RTTY: L=264 needs 3 context frames) and L < frame (AFSK: L=20)."""
+    for fs, baud, fm_, fsp in ((24000, 90.90, 930.0, 1100.0),
+                               (24000, 1200.0, 1200.0, 2200.0)):
+        x = rng.normal(size=(3, 4096)).astype(np.float32)
+
+        def run(blk):
+            det = FSKDetector(baud, fm_, fsp)
+            det.bind(StreamSpec(jnp.float32, fs, blk, channels=(3,)))
+            c = det.init_carry()
+            outs = []
+            for i in range(4096 // blk):
+                c, y = det.apply(
+                    c, jnp.asarray(x[:, i * blk:(i + 1) * blk]))
+                outs.append(np.asarray(y))
+            return np.concatenate(outs, axis=-1)
+
+        a = run(1024)                         # matmul path
+        np.testing.assert_array_equal(a, run(512))   # blocking invariance
+        # Exact numpy direct-sum oracle (zero tail, the op's init state).
+        L = int(fs / baud)
+        i_ = np.arange(L)
+        reps = -(-4096 // L) + 1
+        tm = np.tile(np.exp(2j * np.pi * fm_ * i_ / fs), reps)[:4096]
+        ts = np.tile(np.exp(2j * np.pi * fsp * i_ / fs), reps)[:4096]
+
+        def sums(u):
+            full = np.concatenate(
+                [np.zeros((3, L - 1), np.complex128), u], axis=-1)
+            cs = np.cumsum(full, axis=-1)
+            return cs[:, L - 1:] - np.concatenate(
+                [np.zeros((3, 1), np.complex128), cs[:, :-L]], axis=-1)
+
+        disc = (np.abs(sums(tm * x)) ** 2 - np.abs(sums(ts * x)) ** 2)
+        want = (disc > 0).astype(np.uint8)
+        assert (a == want).mean() > 0.995, baud
+
+
 # -------------------------------------------------------------- BPSK31 -----
 
 def test_bpsk31_decodes_varicode():
