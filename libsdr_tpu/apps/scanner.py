@@ -73,15 +73,21 @@ def scan_blocks(blocks, fs: float, n_channels: int, block: int,
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
     sstep, sinit, splace = build_scanner_step(mesh, m, block, fs, baud=baud,
                                               compact_window=w,
-                                              plane_dtype=plane_dtype)
+                                              plane_dtype=plane_dtype,
+                                              packed=True)
     carry = sinit()
-    datas, valids = [], []
+    # Packed bits (one uint8 per slot, bit 0 = data, bit 1 = valid) halve
+    # the readback; a 2-deep pending window keeps the device busy while
+    # the host drains the previous block.
+    packs, pending = [], []
     for blk in blocks:
         carry, y = sstep(carry, splace(blk))
-        datas.append(np.asarray(y.data))
-        valids.append(np.asarray(y.valid))
-    data = np.concatenate(datas, axis=-1)
-    valid = np.concatenate(valids, axis=-1)
+        pending.append(y)
+        if len(pending) > 2:
+            packs.append(np.asarray(pending.pop(0)))
+    packs.extend(np.asarray(y) for y in pending)
+    arr = np.concatenate(packs, axis=-1)
+    data, valid = arr & 1, arr >= 2
     found = {}
     for ch in range(m):
         msgs = pocsag_decode_bits(data[ch][valid[ch]])

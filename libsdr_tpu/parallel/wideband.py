@@ -244,7 +244,8 @@ def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str,
 def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
                        fs_hz: float, taps_per_branch: int = 8,
                        baud: float = 1200.0, axis: str = "d",
-                       compact_window: int = 0, plane_dtype=None):
+                       compact_window: int = 0, plane_dtype=None,
+                       packed: bool = False):
     """Sharded whole-band pager scanner: the unified wideband stages (fused
     time-sharded channelize+FM -> all_to_all audio reshard) extended with
     the ASK detector and bit-sync PLL, all in the kernel's natural
@@ -310,13 +311,21 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
         return jnp.sum(jnp.where(fill.reshape(aw.shape), aw, 0),
                        axis=1).astype(a.dtype)
 
+    def _out(data, vw):
+        # (C, T') channel-major: Ragged, or ONE uint8 array with bit 0 =
+        # data and bit 1 = valid (``packed``) — halves the device->host
+        # readback bytes, which the tunnel serializes at ~200 MB/s.
+        data = jnp.swapaxes(data, -1, -2)
+        vw = jnp.swapaxes(vw, -1, -2)
+        if packed:
+            return data | (vw.astype(jnp.uint8) << 1)
+        return Ragged(data, vw)
+
     def _bits_out(bits):
-        # time-major (T, C) -> windowed -> (C, T') channel-major contract
+        # time-major (T, C) -> windowed -> channel-major contract
         valid = bits.valid
-        data = _window_rows(bits.data, valid)
-        vw = _window_rows(valid, valid)
-        return Ragged(jnp.swapaxes(data, -1, -2),
-                      jnp.swapaxes(vw, -1, -2))
+        return _out(_window_rows(bits.data, valid),
+                    _window_rows(valid, valid))
 
     def step_local(carry, x_local):
         wb_carry, bsc = carry
@@ -343,10 +352,9 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
             _, sym = ask_l.apply(None, audio_lane)
             bsc, bits = bs_l.apply(bsc, sym)
             valid = bits.valid
-            data = _window_rows(bits.data, valid)[..., lp]
-            vw = _window_rows(valid, valid)[..., lp]
-            return (wb_carry, bsc), Ragged(
-                jnp.swapaxes(data, -1, -2), jnp.swapaxes(vw, -1, -2))
+            return (wb_carry, bsc), _out(
+                _window_rows(bits.data, valid)[..., lp],
+                _window_rows(valid, valid)[..., lp])
 
         step = jax.jit(step_lane)
     else:
@@ -358,7 +366,8 @@ def build_scanner_step(mesh: Mesh, n_channels: int, block: int,
             step_local, mesh=mesh,
             in_specs=((_carry_specs(), bs_carry_spec), P(axis)),
             out_specs=((_carry_specs(), bs_carry_spec),
-                       Ragged(P(axis, None), P(axis, None))),
+                       (P(axis, None) if packed
+                        else Ragged(P(axis, None), P(axis, None)))),
             check_vma=False,
         ))
 

@@ -295,6 +295,32 @@ def test_scanner_compact_window_lossless():
                            m, block, fs, compact_window=64)  # > PLL gap
 
 
+def test_scanner_packed_output_matches_ragged():
+    """packed=True returns ONE uint8 array (bit 0 = data, bit 1 = valid)
+    equal to the Ragged pair, on both the n=1 lane-major path and the n=8
+    sharded path — half the readback bytes, same bits."""
+    from libsdr_tpu.parallel.wideband import build_scanner_step
+
+    m, n_dev = 16, 8
+    fs = m * 25_000.0
+    block = m * n_dev * 64
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=block) + 1j * rng.normal(size=block)
+         ).astype(np.complex64) * 0.4
+
+    for n in (1, n_dev):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+        outs = {}
+        for packed in (False, True):
+            step, init_carry, place = build_scanner_step(
+                mesh, m, block, fs, compact_window=16, packed=packed)
+            _, y = step(init_carry(), place(x))
+            outs[packed] = y
+        r, pk = outs[False], np.asarray(outs[True])
+        np.testing.assert_array_equal(np.asarray(r.data), pk & 1)
+        np.testing.assert_array_equal(np.asarray(r.valid), pk >= 2)
+
+
 def test_min_valid_gap_matches_brute_force_pll():
     """min_valid_gap is floor(1/omega_max), NOT ceil: after an emission the
     PLL's residual phase is strictly below omega_max, so the next bit can
