@@ -37,7 +37,8 @@ import numpy as np
 
 from libsdr_tpu import Pipeline, StreamSpec
 from libsdr_tpu.core import cplx, stream_blocks
-from libsdr_tpu.core.ragged import Ragged, compact
+from libsdr_tpu.core.ragged import (Ragged, compact,
+                                    compact_windows, min_valid_gap)
 from libsdr_tpu.decode import (APRSMessage, AX25Decoder, BaudotDecoder,
                                VaricodeDecoder, parse_aprs,
                                pocsag_decode_bits)
@@ -98,12 +99,27 @@ def build_bank(fs: float, block: int, n_channels: int,
     groups = {mode: np.asarray(idxs, np.int32)
               for mode, idxs in groups.items()}
 
-    sub = {}
+    sub, windows = {}, {}
     for mode, idxs in groups.items():
         p = Pipeline(_mode_stages(mode), name=f"bank_{mode}")
         p.bind(StreamSpec(np.complex64, ch_rate, t_full,
                           channels=(len(idxs),)))
         sub[mode] = p
+        # Lossless windowed bit compaction (core/ragged.compact_windows):
+        # the BitStream PLL's guaranteed bit gap bounds a window that
+        # decimates the ragged bit stream on DEVICE — the readback and
+        # host compaction shrink w-fold (w=16 for 1200 baud, 256 for
+        # RTTY's 45.45).  BPSK31's emission is symbol-clocked, not this
+        # PLL — leave it unwindowed.
+        bs = p.stages[-1]
+        if isinstance(bs, BitStream):
+            gap = min_valid_gap(bs)
+            w = 1
+            while w * 2 <= gap and t_full % (w * 2) == 0:
+                w *= 2
+            windows[mode] = w if w > 1 else 0
+        else:
+            windows[mode] = 0
 
     def step(carry, x):
         cc, carries = carry
@@ -112,7 +128,8 @@ def build_bank(fs: float, block: int, n_channels: int,
         for mode, p in sub.items():
             cg, bits = p.apply(carries[mode], y[groups[mode]])
             new[mode] = cg
-            outs[mode] = bits
+            outs[mode] = (compact_windows(bits, windows[mode])
+                          if windows[mode] else bits)
         return (cc, new), outs
 
     def init_carry():

@@ -85,6 +85,30 @@ def compact_device(r, capacity: int):
     return out[..., :capacity], valid.sum(axis=-1)
 
 
+def compact_windows(r: "Ragged", window: int) -> "Ragged":
+    """LOSSLESS on-device decimation of a ragged stream whose valid slots
+    are guaranteed > ``window - 1`` samples apart (``window`` <=
+    :func:`min_valid_gap`): fold the LAST axis into (T/window, window) and
+    reduce each window to its (at most one) valid item.  Returns a Ragged
+    with T/window slots — the readback and host-side compaction shrink by
+    the same factor.  Used by the multimode decoder bank; the scanner's
+    time-major twin lives in parallel/wideband.py::build_scanner_step."""
+    import jax.numpy as jnp
+
+    data, valid = r.data, r.valid.astype(bool)
+    t = data.shape[-1]
+    if t % window:
+        raise ValueError(f"compact_windows: T={t} not divisible by "
+                         f"window={window}")
+    shape = data.shape[:-1] + (t // window, window)
+    # <= 1 valid item per window, so a masked sum IS that item (exact for
+    # any dtype, not just 0/1 bits).
+    dw = jnp.sum(jnp.where(valid.reshape(shape), data.reshape(shape), 0),
+                 axis=-1).astype(data.dtype)
+    vw = jnp.any(valid.reshape(shape), axis=-1)
+    return Ragged(dw, vw)
+
+
 def min_valid_gap(bitstream_or_omega) -> int:
     """Guaranteed minimum sample gap between valid bits of a bit-sync PLL
     (a bound BitStream, or its omega_max as a float).
