@@ -153,10 +153,19 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
     step, init_carry, groups = build_bank(fs, block, m, mode_map)
     carry = init_carry()
     acc = {mode: [] for mode in groups}
-    for blk in stream_blocks(iq, block):
-        carry, outs = step(carry, cplx.as_block(blk))
+    pending = []          # 2-deep: overlap device compute with host drain
+
+    def drain(outs):
         for mode, bits in outs.items():
             acc[mode].append((np.asarray(bits.data), np.asarray(bits.valid)))
+
+    for blk in stream_blocks(iq, block):
+        carry, outs = step(carry, cplx.as_block(blk))
+        pending.append(outs)
+        if len(pending) > 2:
+            drain(pending.pop(0))
+    for outs in pending:
+        drain(outs)
 
     found: Dict[int, Tuple[str, object]] = {}
     for mode, idxs in groups.items():
