@@ -1,0 +1,45 @@
+#!/bin/bash
+# One-shot hardware sweep: smoke suite + every bench, each in a FRESH
+# process (the axon plugin pins the backend at first jax touch), each under
+# a timeout so a wedged tunnel cannot hang the sweep.  Artifacts land as
+# *_r${LIBSDR_ROUND:-03}.json next to the driver's BENCH_r*.json.
+#
+# Usage: bash tools/bench_all.sh [quick]
+#   quick: skip the ~6 min smoke suite, run benches only.
+set -u
+cd "$(dirname "$0")/.."
+PY=${PYTHON:-python}
+
+probe() {
+  timeout 120 $PY - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+assert float(jnp.sum(jnp.ones((256,256)) @ jnp.ones((256,256)))) == 256*256*256
+EOF
+}
+
+if ! probe; then
+  echo "TPU probe FAILED (tunnel down?) — aborting sweep" >&2
+  exit 1
+fi
+echo "TPU probe ok"
+
+run() {  # run <timeout_s> <name> <cmd...>
+  local t=$1 name=$2; shift 2
+  echo "=== $name ==="
+  timeout "$t" "$@"
+  echo "=== $name exit=$? ==="
+}
+
+if [ "${1:-}" != "quick" ]; then
+  run 900 smoke $PY tools/tpu_check.py
+fi
+run 600 headline      $PY bench.py
+run 600 rx_modes      $PY tools/bench_rx_modes.py
+run 600 channelizer   $PY tools/bench_channelizer.py
+run 600 decoder_bank  $PY tools/bench_decoder_bank.py
+run 600 multimode     $PY tools/bench_multimode.py
+run 600 streaming     $PY tools/bench_streaming.py
+run 600 scanner_prof  $PY tools/profile_scanner.py
+run 600 ax25_prof     $PY tools/profile_ax25.py
+echo "sweep done; artifacts:"
+ls -la *_r"${LIBSDR_ROUND:-03}".json 2>/dev/null
