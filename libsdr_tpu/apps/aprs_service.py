@@ -233,9 +233,26 @@ def make_handler(store: APRSStore):
             # client control frames are honored — Ping gets a Pong and
             # Close gets the closing-handshake reply (RFC 6455 §5.5.1-2);
             # a write-only handler would leave a browser's close() hanging
-            # in CLOSING until its timeout.
-            self.connection.settimeout(0.25)
+            # in CLOSING until its timeout.  Reads poll via select() so
+            # SENDS stay blocking — a socket-wide timeout would also abort
+            # any write that stalls > the poll interval, defeating the
+            # slow-consumer handling.
+            import select
+
+            # A client may pipeline frames in the same TCP segment as the
+            # upgrade request; those bytes sit in rfile's read-ahead
+            # buffer, invisible to select()/recv().  Drain them first
+            # (non-blocking: read1 returns buffered bytes, and raises
+            # BlockingIOError only when the buffer is empty).
             inbuf = b""
+            try:
+                self.connection.setblocking(False)
+                try:
+                    inbuf = self.rfile.read1(65536) or b""
+                except (BlockingIOError, ValueError):
+                    pass
+            finally:
+                self.connection.setblocking(True)
             try:
                 while True:
                     try:
@@ -246,14 +263,20 @@ def make_handler(store: APRSStore):
                     except queue.Empty:
                         pass
                     self.wfile.flush()
-                    try:
+                    r, _, _ = select.select([self.connection], [], [], 0.25)
+                    if r:
                         data = self.connection.recv(4096)
                         if not data:
                             break              # client hung up
                         inbuf += data
-                    except TimeoutError:
+                    elif not inbuf:
                         continue
                     frames, inbuf = ws_parse_frames(inbuf)
+                    # Only <=125-byte control frames are expected from the
+                    # client; a giant claimed frame length (or endless
+                    # unparseable bytes) must not grow inbuf unboundedly.
+                    if len(inbuf) > 1 << 16:
+                        break
                     done = False
                     for opcode, payload in frames:
                         if opcode == 0x8:      # Close: echo + finish

@@ -38,7 +38,8 @@ import numpy as np
 from libsdr_tpu import Pipeline, StreamSpec
 from libsdr_tpu.core import cplx, stream_blocks
 from libsdr_tpu.core.ragged import (Ragged, compact,
-                                    compact_windows, min_valid_gap)
+                                    compact_windows, min_valid_gap,
+                                    pick_window)
 from libsdr_tpu.decode import (APRSMessage, AX25Decoder, BaudotDecoder,
                                VaricodeDecoder, parse_aprs,
                                pocsag_decode_bits)
@@ -112,14 +113,8 @@ def build_bank(fs: float, block: int, n_channels: int,
         # RTTY's 45.45).  BPSK31's emission is symbol-clocked, not this
         # PLL — leave it unwindowed.
         bs = p.stages[-1]
-        if isinstance(bs, BitStream):
-            gap = min_valid_gap(bs)
-            w = 1
-            while w * 2 <= gap and t_full % (w * 2) == 0:
-                w *= 2
-            windows[mode] = w if w > 1 else 0
-        else:
-            windows[mode] = 0
+        windows[mode] = (pick_window(min_valid_gap(bs), t_full, cap=256)
+                         if isinstance(bs, BitStream) else 0)
 
     def step(carry, x):
         cc, carries = carry

@@ -53,7 +53,7 @@ def scan_blocks(blocks, fs: float, n_channels: int, block: int,
     {channel_index: [POCSAGMessage, ...]}."""
     import jax
     from jax.sharding import Mesh
-    from libsdr_tpu.core.ragged import min_valid_gap
+    from libsdr_tpu.core.ragged import min_valid_gap, pick_window
     from libsdr_tpu.parallel.wideband import build_scanner_step
 
     m = n_channels
@@ -65,11 +65,7 @@ def scan_blocks(blocks, fs: float, n_channels: int, block: int,
     # divides T and respects the gap (omega_max = baud/fs_ch * 1.005,
     # the BitStream +0.5% clip).
     gap = min_valid_gap((baud / (fs / m)) * 1.005)
-    w = 0
-    for cand in (64, 32, 16, 8, 4, 2):
-        if t_full % cand == 0 and cand <= gap:
-            w = cand
-            break
+    w = pick_window(gap, t_full)
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
     sstep, sinit, splace = build_scanner_step(mesh, m, block, fs, baud=baud,
                                               compact_window=w,

@@ -132,6 +132,17 @@ def min_valid_gap(bitstream_or_omega) -> int:
     return int(math.floor(1.0 / om))
 
 
+def pick_window(gap: int, t_full: int, cap: int = 64) -> int:
+    """Largest power-of-two compaction window that divides ``t_full`` and
+    respects the PLL's guaranteed bit gap (:func:`min_valid_gap`) — the
+    single place the lossless-window sizing policy lives (scanner and
+    multimode bank both use it).  Returns 0 when no window >= 2 fits."""
+    w = 1
+    while w * 2 <= min(gap, cap) and t_full % (w * 2) == 0:
+        w *= 2
+    return w if w > 1 else 0
+
+
 def concat_host(blocks) -> "Ragged":
     """Concatenate host-side ragged blocks along time."""
     return Ragged(np.concatenate([np.asarray(b.data) for b in blocks], axis=-1),

@@ -81,8 +81,10 @@ def sliding_sum(tail: Complex, u: Complex, L: int):
             return s.reshape(up.shape)
 
         s = Complex(sums(tail.re, u.re), sums(tail.im, u.im))
-        new_tail = cplx.concatenate([tail, u], axis=-1)[..., -(L - 1):]
-        return s, new_tail
+        full = cplx.concatenate([tail, u], axis=-1)
+        # explicit index, not [-(L-1):] — at L == 1 that slice would be
+        # [-0:] == the whole array instead of the empty tail
+        return s, full[..., full.shape[-1] - (L - 1):]
 
     ones = jnp.asarray(np.ones(L, np.float32))
     full = cplx.concatenate([tail, u], axis=-1)
