@@ -429,3 +429,43 @@ def test_afsk_fused_kernel_on_chip():
     dec = AX25Decoder()
     dec.process(b0)
     assert dec.messages and dec.messages[0].payload.endswith(info)
+
+
+def test_fsk_sliding_sum_matmul_on_chip(rng):
+    """The banded-matmul sliding sum (ops/fsk.py::sliding_sum, the
+    FSKDetector/multimode hot path) on the REAL MXU at Precision.HIGHEST
+    vs the f64 numpy direct-sum oracle: the discriminator symbols must
+    agree except at near-zero ties, for both L < frame (AFSK L=20) and
+    L > frame (RTTY L=264, 3 context frames)."""
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops import FSKDetector
+
+    fs, nch, b = 24000.0, 64, 4096
+    x = rng.normal(size=(nch, 2 * b)).astype(np.float32)
+    for baud, fm_, fsp in ((1200.0, 1200.0, 2200.0),
+                           (90.90, 930.0, 1100.0)):
+        det = FSKDetector(baud, fm_, fsp)
+        det.bind(StreamSpec(jnp.float32, fs, b, channels=(nch,)))
+        c = det.init_carry()
+        outs = []
+        for i in range(2):
+            c, y = det.apply(c, jnp.asarray(x[:, i * b:(i + 1) * b]))
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs, axis=-1)
+
+        L = int(fs / baud)
+        i_ = np.arange(L)
+        reps = -(-2 * b // L) + 1
+        tm = np.tile(np.exp(2j * np.pi * fm_ * i_ / fs), reps)[:2 * b]
+        ts = np.tile(np.exp(2j * np.pi * fsp * i_ / fs), reps)[:2 * b]
+
+        def sums(u):
+            full = np.concatenate(
+                [np.zeros((nch, L - 1), np.complex128), u], axis=-1)
+            cs = np.cumsum(full, axis=-1)
+            return cs[:, L - 1:] - np.concatenate(
+                [np.zeros((nch, 1), np.complex128), cs[:, :-L]], axis=-1)
+
+        disc = np.abs(sums(tm * x)) ** 2 - np.abs(sums(ts * x)) ** 2
+        want = (disc > 0).astype(np.uint8)
+        assert (got == want).mean() > 0.995, baud
