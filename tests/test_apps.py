@@ -458,6 +458,9 @@ def test_aprs_service_map_page():
     # a real map page: svg plot + /spots polling + marker rendering
     assert "<svg" in page and "/spots" in page and "markers" in page
     assert "latitude" in page  # consumes the store's spot schema
+    # live push: the page opens the /ws websocket and keeps the 3 s poll
+    # only as fallback
+    assert "new WebSocket" in page and "/ws" in page
 
 
 def test_rx_cli_live_mode_switch(tmp_path):
