@@ -332,6 +332,34 @@ def test_fsk_detector_matmul_path_matches_conv(rng):
         assert (a == want).mean() > 0.995, baud
 
 
+def test_sliding_sum_band_matrix_edges(rng):
+    """sliding_sum's band-matrix construction at the frame boundaries:
+    L = 127/128/129 (npv 1->2 transition) and 255/256/257 (npv 2->3),
+    plus tiny L, against an exact float64 cumsum oracle, including the
+    cross-block tail handoff."""
+    from libsdr_tpu.core.cplx import Complex as C
+    from libsdr_tpu.ops.fsk import sliding_sum
+
+    for L in (2, 3, 127, 128, 129, 255, 256, 257, 384):
+        b = 512
+        u = rng.normal(size=(2, 2 * b)).astype(np.float32)
+        tail = np.zeros((2, L - 1), np.float32)
+        outs = []
+        t = C(jnp.asarray(tail), jnp.asarray(tail))
+        for i in range(2):
+            blk = C(jnp.asarray(u[:, i * b:(i + 1) * b]),
+                    jnp.asarray(u[:, i * b:(i + 1) * b]))
+            s, t = sliding_sum(t, blk, L)
+            outs.append(np.asarray(s.re))
+        got = np.concatenate(outs, axis=-1)
+        full = np.concatenate([np.zeros((2, L - 1)), u.astype(np.float64)],
+                              axis=-1)
+        cs = np.cumsum(full, axis=-1)
+        want = cs[:, L - 1:] - np.concatenate(
+            [np.zeros((2, 1)), cs[:, :-L]], axis=-1)
+        np.testing.assert_allclose(got, want, atol=1e-3), L
+
+
 # -------------------------------------------------------------- BPSK31 -----
 
 def test_bpsk31_decodes_varicode():
