@@ -40,7 +40,7 @@ from libsdr_tpu.core import cplx, stream_blocks
 from libsdr_tpu.core.ragged import (Ragged, compact,
                                     compact_windows, min_valid_gap,
                                     pick_window)
-from libsdr_tpu.decode import (APRSMessage, AX25Decoder, BaudotDecoder,
+from libsdr_tpu.decode import (AX25Decoder, BaudotDecoder,
                                VaricodeDecoder, parse_aprs,
                                pocsag_decode_bits)
 from libsdr_tpu.ops import (BPSK31, ASKDetector, BitStream, FMDemod,

@@ -15,7 +15,7 @@ returns a tuple of branch outputs.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 
