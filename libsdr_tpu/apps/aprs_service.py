@@ -285,7 +285,9 @@ def make_handler(store: APRSStore):
                             done = True
                             break
                         if opcode == 0x9:      # Ping -> Pong, same payload
-                            self.wfile.write(ws_frame(0xA, payload))
+                            # clamp: control frames must be <=125 bytes
+                            # (RFC 6455 §5.5), even echoing an oversized ping
+                            self.wfile.write(ws_frame(0xA, payload[:125]))
                             self.wfile.flush()
                     if done:
                         break

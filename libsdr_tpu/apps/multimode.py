@@ -141,10 +141,9 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
 
     decoded: POCSAG message list / AX.25+APRS message list / RTTY text /
     PSK31 text, per the channel's mode."""
+    from libsdr_tpu.apps.scanner import pick_block
     m = n_channels
-    if block is None:
-        block = int(fs // 2)
-    block -= block % (m * 16)
+    block = pick_block(fs, m, block)
     step, init_carry, groups = build_bank(fs, block, m, mode_map)
     carry = init_carry()
     acc = {mode: [] for mode in groups}
@@ -164,6 +163,8 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
 
     found: Dict[int, Tuple[str, object]] = {}
     for mode, idxs in groups.items():
+        if not acc[mode]:    # empty/short capture: nothing to decode
+            continue
         data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
         valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
         for row, ch in enumerate(idxs):

@@ -82,6 +82,8 @@ def scan_blocks(blocks, fs: float, n_channels: int, block: int,
         if len(pending) > 2:
             packs.append(np.asarray(pending.pop(0)))
     packs.extend(np.asarray(y) for y in pending)
+    if not packs:            # empty/short capture: nothing to decode
+        return {}
     arr = np.concatenate(packs, axis=-1)
     data, valid = arr & 1, arr >= 2
     found = {}

@@ -130,13 +130,19 @@ def _read_time(r: _Reader, now: datetime.datetime) -> Optional[datetime.datetime
     if a is None or b is None or c is None:
         return None
     k = r.char()
+    # The reference pokes the raw digits into a struct tm and calls
+    # mktime (src/aprs.cc:277-316), which NORMALIZES every out-of-range
+    # field (day 0 -> last day of the previous month, hour 25 -> next
+    # day, ...).  datetime.replace would raise instead, so replicate the
+    # normalization with timedelta arithmetic from an in-range base.
+    td = datetime.timedelta
     try:
-        if k == "z":
-            return now.replace(day=a, hour=b, minute=c)
-        if k == "/":
-            return now.replace(day=a, hour=b, minute=c)
+        if k == "z" or k == "/":
+            return (now.replace(day=1, hour=0, minute=0)
+                    + td(days=a - 1, hours=b, minutes=c))
         if k == "h":
-            return now.replace(hour=a, minute=b, second=c)
+            return (now.replace(hour=0, minute=0, second=0)
+                    + td(hours=a, minutes=b, seconds=c))
         if k is not None and k.isdigit():
             d2 = r.digit()
             if d2 is None:
@@ -146,9 +152,10 @@ def _read_time(r: _Reader, now: datetime.datetime) -> Optional[datetime.datetime
             # are stored into the 0-BASED tm_mon directly, so payload "08"
             # parses as September; mktime normalizes month 12 into January
             # of the next year.  Replicated for golden parity.
-            return now.replace(year=now.year + a // 12, month=a % 12 + 1,
-                               day=b, hour=c, minute=d)
-    except ValueError:
+            return (now.replace(year=now.year + a // 12, month=a % 12 + 1,
+                                day=1, hour=0, minute=0)
+                    + td(days=b - 1, hours=c, minutes=d))
+    except (ValueError, OverflowError):
         return None
     return None
 

@@ -185,8 +185,10 @@ def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
 
     histp1_g, prev_g = carry
     t_seg = x_local.shape[-1] // m
-    frames_local = x_local.reshape((t_seg, m))
-    tail = frames_local[t_seg - (p + 1):, :]
+    # Slice the 1-D stream FIRST, then reshape the small piece: slicing a
+    # reshape of the full block materializes the whole reshaped array on
+    # this backend (~3 ms per 128 MB — see WidebandFM.apply's NOTE).
+    tail = x_local[..., (t_seg - (p + 1)) * m:].reshape((p + 1, m))
     if n == 1:
         # Collectives on a 1-device mesh are identities, but this backend
         # lowers them (ppermute/all_to_all inside shard_map) to paths ~6x

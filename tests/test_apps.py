@@ -242,6 +242,16 @@ def test_aprs_service_websocket_push():
         s.sendall(masked(0x9, b"hi"))       # Ping -> Pong, same payload
         op, payload, rest = read_control(rest)
         assert (op, payload) == (0xA, b"hi")
+
+        # Oversized ping (200 B, extended length): the Pong must be clamped
+        # to the RFC 6455 §5.5 125-byte control-frame limit, short form.
+        big = (b"ping!" * 40)[:200]
+        mask = b"\x11\x22\x33\x44"
+        body = bytes(b ^ mask[i % 4] for i, b in enumerate(big))
+        s.sendall(bytes([0x89, 0x80 | 126]) + (200).to_bytes(2, "big")
+                  + mask + body)
+        op, payload, rest = read_control(rest)
+        assert (op, payload) == (0xA, big[:125])
         s.sendall(masked(0x8, b"\x03\xe8"))  # Close -> echoed Close reply
         op, payload, rest = read_control(rest)
         assert (op, payload) == (0x8, b"\x03\xe8")

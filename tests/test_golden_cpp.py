@@ -1027,6 +1027,12 @@ def test_aprs_parse_parity_with_reference(tmp_path):
         b";OBJ4BALLN*092345z4900.00N/07200.00W#digi object",  # object
         b"@08151230" + b"4903.50N/07201.75W[jog",  # time MDHM, JOGGER
         b">just a status, no position",            # comment-only
+        # Out-of-range timestamps: the reference's mktime NORMALIZES these
+        # (day 0 -> last day of the previous month, Feb 31 -> early March,
+        # hour 25 -> next day); decode/aprs.py must normalize identically.
+        b"/000000z6012.00N/02458.00E_day zero",    # z, tm_mday = 0
+        b"@01310000" + b"4903.50N/07201.75W[ovf",  # MDHM, Feb 31
+        b"@256075h4903.50N/07201.75WOwrap",        # h, 25:60:75
     ]
     fs = 24000.0
     line_all = []
