@@ -407,6 +407,17 @@ def test_multimode_bank(tmp_path):
     assert "cq tpu" in found[6][1]
 
 
+def test_scanner_and_multimode_empty_capture():
+    """A capture shorter than one block yields no blocks: both bank apps
+    must return empty results, not crash on an empty concatenate."""
+    from libsdr_tpu.apps import multimode, scanner
+
+    short = np.zeros(100, np.complex64)
+    assert scanner.scan(short, fs=1_000_000.0, n_channels=8) == {}
+    assert multimode.scan_multimode(short, 192_000.0, 8,
+                                    {2: "pocsag", 3: "ax25"}) == {}
+
+
 def test_tx_loopback(tmp_path):
     """The transmitter CLI's captures decode through the matching receivers
     (full TX -> RX loopback for every mode)."""
