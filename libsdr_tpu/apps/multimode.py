@@ -71,18 +71,10 @@ def _mode_stages(mode: str):
     raise SystemExit(f"unknown mode {mode!r} (use {'/'.join(MODES)})")
 
 
-def build_bank(fs: float, block: int, n_channels: int,
-               mode_map: Dict[int, str]):
-    """Build the shared-front-end bank.
-
-    Returns (step, init_carry, groups): ``step(carry, x)`` consumes one
-    (block,) complex wideband block and returns ``{mode: Ragged bits}``
-    with rows ordered like ``groups[mode]`` (the channel indices of that
-    mode).  One Channelizer feeds every group; each group is one batched
-    pipeline.
-    """
-    import jax
-
+def _build_parts(fs: float, block: int, n_channels: int,
+                 mode_map: Dict[int, str]):
+    """The bank's pieces — (chan, sub, groups, windows) — exposed so
+    tools/profile_multimode.py can time each stage separately."""
     m = n_channels
     if block % m:
         raise SystemExit("block must divide by the channel count")
@@ -115,6 +107,23 @@ def build_bank(fs: float, block: int, n_channels: int,
         bs = p.stages[-1]
         windows[mode] = (pick_window(min_valid_gap(bs), t_full, cap=256)
                          if isinstance(bs, BitStream) else 0)
+    return chan, sub, groups, windows
+
+
+def build_bank(fs: float, block: int, n_channels: int,
+               mode_map: Dict[int, str]):
+    """Build the shared-front-end bank.
+
+    Returns (step, init_carry, groups): ``step(carry, x)`` consumes one
+    (block,) complex wideband block and returns ``{mode: Ragged bits}``
+    with rows ordered like ``groups[mode]`` (the channel indices of that
+    mode).  One Channelizer feeds every group; each group is one batched
+    pipeline.
+    """
+    import jax
+
+    chan, sub, groups, windows = _build_parts(fs, block, n_channels,
+                                              mode_map)
 
     def step(carry, x):
         cc, carries = carry

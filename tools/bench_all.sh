@@ -41,5 +41,6 @@ run 600 multimode     $PY tools/bench_multimode.py
 run 600 streaming     $PY tools/bench_streaming.py
 run 600 scanner_prof  $PY tools/profile_scanner.py
 run 600 ax25_prof     $PY tools/profile_ax25.py
+run 600 multimode_prof $PY tools/profile_multimode.py
 echo "sweep done; artifacts:"
 ls -la *_r"${LIBSDR_ROUND:-03}".json 2>/dev/null
