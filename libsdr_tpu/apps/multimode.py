@@ -27,6 +27,10 @@ band); the per-mode chains are lane-parallel batched ops; only the final
 Usage:
   python -m libsdr_tpu.apps.multimode --file wide.wav --channels 16 \
       --map "2:pocsag,5:ax25,9:rtty,12:psk31"
+
+Multi-chip: parallel/multimode.py::build_multimode_step runs the same bank
+sharded over a device mesh (time-sharded channelizer -> all_to_all ->
+channel-sharded mode chains), bit-identical to this single-chip path.
 """
 
 from __future__ import annotations

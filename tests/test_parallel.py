@@ -413,6 +413,48 @@ def test_hot_path_collective_inventory():
         assert nbytes is not None and nbytes <= carry_bound, inv
 
 
+def test_sharded_multimode_matches_single_device():
+    """The sharded multi-mode bank (time-sharded channelizer -> all_to_all
+    complex reshard -> channel-sharded POCSAG/AX.25/RTTY/PSK31 chains)
+    produces bit-identical outputs to the n=1 path over chained blocks."""
+    import jax
+    from jax.sharding import Mesh
+    from libsdr_tpu.parallel.multimode import build_multimode_step
+
+    m, n_dev = 32, 8
+    fs = m * 24_000.0
+    t_full = 576                      # % 12 == 0 (PSK31), /8 >= P+1 frames
+    block = m * t_full
+    pattern = ("pocsag", "ax25", "rtty", "psk31")
+    rng = np.random.default_rng(7)
+    blocks = [(rng.normal(size=block) + 1j * rng.normal(size=block)
+               ).astype(np.complex64) * 0.3 for _ in range(2)]
+
+    outs = {}
+    for n in (1, n_dev):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+        step, init_carry, place, groups = build_multimode_step(
+            mesh, m, block, fs, pattern)
+        c = init_carry()
+        per_block = []
+        for x in blocks:
+            c, o = step(c, place(x))
+            per_block.append({mode: (np.asarray(r.data), np.asarray(r.valid))
+                              for mode, r in o.items()})
+        outs[n] = (per_block, groups)
+
+    g1, gn = outs[1][1], outs[n_dev][1]
+    for mode in pattern:
+        np.testing.assert_array_equal(g1[mode], gn[mode])
+        # round-robin pattern -> ascending global channel indices
+        assert list(g1[mode]) == sorted(g1[mode])
+        for b in range(2):
+            d1, v1 = outs[1][0][b][mode]
+            dn, vn = outs[n_dev][0][b][mode]
+            np.testing.assert_array_equal(v1, vn)
+            np.testing.assert_array_equal(d1 * v1, dn * vn)
+
+
 def test_sharded_scanner_matches_single_device():
     """The fully sharded scanner step (time-sharded channelizer ->
     all_to_all -> channel-sharded FM + ASK + bit-sync PLL) produces
