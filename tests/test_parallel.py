@@ -412,6 +412,26 @@ def test_hot_path_collective_inventory():
     for nbytes in by_op.get("all-gather", []):
         assert nbytes is not None and nbytes <= carry_bound, inv
 
+    # Multi-mode bank: same structure, but the all_to_all reshards the
+    # COMPLEX channel bank (the mode chains need it) — up to one per plane
+    # (XLA may combine them), ppermute halo per plane, no all-reduce, and
+    # all-gathers bounded by carry-scale state.
+    from libsdr_tpu.parallel.multimode import build_multimode_step
+
+    mstep, minit, mplace, _ = build_multimode_step(
+        mesh, m, block, m * 24_000.0, ("pocsag", "ax25"))
+    txt = mstep.lower(minit(), mplace(np.zeros(block, np.complex64))
+                      ).compile().as_text()
+    inv = _collective_inventory(txt)
+    by_op = {}
+    for op, nbytes in inv:
+        by_op.setdefault(op, []).append(nbytes)
+    assert 1 <= len(by_op.get("all-to-all", [])) <= 2, inv
+    assert len(by_op.get("collective-permute", [])) == 2, inv
+    assert "all-reduce" not in by_op, inv
+    for nbytes in by_op.get("all-gather", []):
+        assert nbytes is not None and nbytes <= carry_bound, inv
+
 
 def test_sharded_multimode_matches_single_device():
     """The sharded multi-mode bank (time-sharded channelizer -> all_to_all
