@@ -147,6 +147,24 @@ def build_bank(fs: float, block: int, n_channels: int,
     return jax.jit(step), init_carry, groups
 
 
+def decode_mode_bits(mode: str, bits: np.ndarray):
+    """Host decode of one channel's compacted bit stream, per mode.
+    Returns POCSAG message list / AX.25+(APRS) list / RTTY text /
+    PSK31 text.  Shared by :func:`scan_multimode` and the sharded bank
+    consumers (parallel/multimode.py)."""
+    if mode == "pocsag":
+        return pocsag_decode_bits(bits)
+    if mode == "ax25":
+        dec = AX25Decoder()
+        dec.process(bits)
+        return [(f, parse_aprs(f)) for f in dec.messages]
+    if mode == "rtty":
+        return BaudotDecoder(stop_bits="1.5").process(bits)
+    if mode == "psk31":
+        return VaricodeDecoder().process(bits)
+    raise SystemExit(f"unknown mode {mode!r} (use {'/'.join(MODES)})")
+
+
 def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
                    mode_map: Dict[int, str], block: int = None
                    ) -> Dict[int, Tuple[str, object]]:
@@ -182,16 +200,7 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
         valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
         for row, ch in enumerate(idxs):
             bits = compact(Ragged(data[row], valid[row]))
-            if mode == "pocsag":
-                out = pocsag_decode_bits(bits)
-            elif mode == "ax25":
-                dec = AX25Decoder()
-                dec.process(bits)
-                out = [(f, parse_aprs(f)) for f in dec.messages]
-            elif mode == "rtty":
-                out = BaudotDecoder(stop_bits="1.5").process(bits)
-            else:                          # psk31
-                out = VaricodeDecoder().process(bits)
+            out = decode_mode_bits(mode, bits)
             if (out if not isinstance(out, str) else out.strip()):
                 found[int(ch)] = (mode, out)
     return found

@@ -341,47 +341,51 @@ def test_scanner_bf16_wire(tmp_path):
     assert found[3][0].as_text().startswith("BF16 WIRE")
 
 
-def test_multimode_bank(tmp_path):
-    """BASELINE config 4: ONE channelizer front end feeding a per-channel
-    mix of POCSAG / AFSK-AX.25 / RTTY / PSK31 decoders — a TX-synthesized
-    mixed band decodes all four modes in one run."""
-    from libsdr_tpu.apps import multimode
+def make_mixed_band(active: "dict[int, str]", m: int,
+                    ch_bw: float = 24_000.0) -> np.ndarray:
+    """TX-synthesize a wideband capture with canonical per-mode signals on
+    the given {channel: mode} slots (pocsag "MIXED BAND"@99, ax25 K3MM
+    position report, rtty "RY MULTI", psk31 "cq tpu") — shared by the
+    single-chip and sharded multimode bank tests."""
     from libsdr_tpu.apps.tx import _nrzi
     from libsdr_tpu.decode import (ax25_frame_bits, baudot_encode_bits,
                                    varicode_encode_bits)
 
-    m = 8
-    ch_bw = 24_000.0
-    fs = m * ch_bw                      # 192 kHz wideband
+    fs = m * ch_bw
 
-    # Narrowband signals, each synthesized at the channel rate.
-    narrows = {}
-    narrows[2] = ("pocsag", _pocsag_iq(ch_bw, text="MIXED BAND", address=99))
-    frame = ax25_frame_bits("K3MM", "APRS",
-                            b"!4903.50N/07201.75W-multimode", n_flags=50)
-    afsk_audio = siggen.fsk_modulate(ch_bw, _nrzi(frame), 1200.0 * 1.0017,
-                                     1200.0, 2200.0).real
-    narrows[3] = ("ax25", siggen.fm_modulate(ch_bw, 0.8 * afsk_audio,
-                                             deviation=3000.0))
-    half_bits = baudot_encode_bits("RY MULTI", stop_bits="1.5")
-    narrows[5] = ("rtty", siggen.fsk_modulate(ch_bw, half_bits, 2 * 45.45,
-                                              930.0, 1100.0))
-    vbits = np.concatenate([np.ones(24, np.uint8),
-                            varicode_encode_bits("cq tpu"),
-                            np.ones(24, np.uint8)])
-    spb = int(round(ch_bw / 31.25))
-    ph, phases = 0.0, []
-    for b in vbits:
-        if b == 0:
-            ph += np.pi
-        phases.append(ph)
-    narrows[6] = ("psk31",
-                  np.exp(1j * np.repeat(phases, spb)).astype(np.complex64))
+    def narrow_for(mode):
+        if mode == "pocsag":
+            return _pocsag_iq(ch_bw, text="MIXED BAND", address=99)
+        if mode == "ax25":
+            frame = ax25_frame_bits("K3MM", "APRS",
+                                    b"!4903.50N/07201.75W-multimode",
+                                    n_flags=50)
+            afsk_audio = siggen.fsk_modulate(ch_bw, _nrzi(frame),
+                                             1200.0 * 1.0017,
+                                             1200.0, 2200.0).real
+            return siggen.fm_modulate(ch_bw, 0.8 * afsk_audio,
+                                      deviation=3000.0)
+        if mode == "rtty":
+            half_bits = baudot_encode_bits("RY MULTI", stop_bits="1.5")
+            return siggen.fsk_modulate(ch_bw, half_bits, 2 * 45.45,
+                                       930.0, 1100.0)
+        assert mode == "psk31"
+        vbits = np.concatenate([np.ones(24, np.uint8),
+                                varicode_encode_bits("cq tpu"),
+                                np.ones(24, np.uint8)])
+        spb = int(round(ch_bw / 31.25))
+        ph, phases = 0.0, []
+        for b in vbits:
+            if b == 0:
+                ph += np.pi
+            phases.append(ph)
+        return np.exp(1j * np.repeat(phases, spb)).astype(np.complex64)
 
-    n = int(fs * (max(len(s) for _, s in narrows.values()) / ch_bw + 0.3))
+    narrows = {ch: narrow_for(mode) for ch, mode in active.items()}
+    n = int(fs * (max(len(s) for s in narrows.values()) / ch_bw + 0.3))
     t = np.arange(n) / fs
     wide = np.zeros(n, np.complex64)
-    for ch, (_, narrow) in narrows.items():
+    for ch, narrow in narrows.items():
         idx = np.minimum((np.arange(n) / m).astype(np.int64),
                          len(narrow) - 1)
         pad = np.asarray(narrow, np.complex64)[idx]
@@ -390,8 +394,19 @@ def test_multimode_bank(tmp_path):
         f_c = ch * fs / m if ch <= m // 2 else ch * fs / m - fs
         wide += (0.5 * pad * np.exp(2j * np.pi * f_c * t)
                  ).astype(np.complex64)
+    return wide
 
-    mode_map = {ch: mode for ch, (mode, _) in narrows.items()}
+
+def test_multimode_bank(tmp_path):
+    """BASELINE config 4: ONE channelizer front end feeding a per-channel
+    mix of POCSAG / AFSK-AX.25 / RTTY / PSK31 decoders — a TX-synthesized
+    mixed band decodes all four modes in one run."""
+    from libsdr_tpu.apps import multimode
+
+    m = 8
+    fs = m * 24_000.0                   # 192 kHz wideband
+    mode_map = {2: "pocsag", 3: "ax25", 5: "rtty", 6: "psk31"}
+    wide = make_mixed_band(mode_map, m)
     found = multimode.scan_multimode(wide, fs, m, mode_map)
 
     assert 2 in found and found[2][0] == "pocsag"

@@ -475,6 +475,60 @@ def test_sharded_multimode_matches_single_device():
             np.testing.assert_array_equal(d1 * v1, dn * vn)
 
 
+def test_sharded_multimode_decodes_mixed_band():
+    """END-TO-END over the 8-device mesh: a TX-synthesized mixed band fed
+    through the sharded multi-mode bank decodes all four modes (POCSAG
+    page, AX.25/APRS position frame, RTTY text, PSK31 text) on the right
+    channels."""
+    import jax
+    from jax.sharding import Mesh
+    from libsdr_tpu.apps.multimode import decode_mode_bits
+    from libsdr_tpu.core.ragged import Ragged, compact
+    from libsdr_tpu.parallel.multimode import build_multimode_step
+    from tests.test_apps import make_mixed_band
+
+    m, n_dev = 32, 8
+    fs = m * 24_000.0
+    pattern = ("pocsag", "ax25", "rtty", "psk31")
+    # active channels chosen so mode == pattern[ch % 4]
+    active = {4: "pocsag", 9: "ax25", 14: "rtty", 19: "psk31"}
+    wide = make_mixed_band(active, m)
+
+    t_full = 4608                     # % 12 == 0 (PSK31), /8 >= P+1 frames
+    block = m * t_full
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("d",))
+    step, init_carry, place, groups = build_multimode_step(
+        mesh, m, block, fs, pattern)
+    c = init_carry()
+    acc = {mode: [] for mode in pattern}
+    for i in range(0, len(wide) - block + 1, block):
+        c, outs = step(c, place(wide[i:i + block]))
+        for mode, r in outs.items():
+            acc[mode].append((np.asarray(r.data), np.asarray(r.valid)))
+
+    decoded = {}
+    for mode in pattern:
+        data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
+        valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
+        for row, ch in enumerate(groups[mode]):
+            bits = compact(Ragged(data[row], valid[row]))
+            out = decode_mode_bits(mode, bits)
+            if (out if not isinstance(out, str) else out.strip()):
+                decoded[int(ch)] = out
+
+    msgs = decoded[4]
+    assert msgs[0].address == 99 and msgs[0].as_text().startswith("MIXED")
+    frames = decoded[9]
+    assert frames and frames[0][0].frm.call == "K3MM"
+    assert frames[0][1] is not None          # APRS position parsed
+    assert "MULTI" in decoded[14]
+    assert "cq tpu" in decoded[19]
+    # No silence assertion for the other channels: the noise-free fixture's
+    # square-FSK splatter is CORRELATED leakage, which the unsquelched
+    # demod chains happily decode on other channels too (the single-chip
+    # bank behaves identically on this fixture — verified bit-exact).
+
+
 def test_sharded_scanner_matches_single_device():
     """The fully sharded scanner step (time-sharded channelizer ->
     all_to_all -> channel-sharded FM + ASK + bit-sync PLL) produces
