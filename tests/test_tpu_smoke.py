@@ -260,6 +260,33 @@ def test_whole_band_scanner_decodes_on_chip():
         assert found[c][0].address == addr
 
 
+def test_multimode_bank_decodes_on_chip():
+    """BASELINE config 4 on hardware: one channelizer front end feeding a
+    per-channel POCSAG / AX.25 / RTTY / PSK31 mix — all four modes decode
+    from one TX-synthesized band through the real-backend bank (incl. the
+    Pallas bit-sync on padded sub-128-lane groups where shapes allow)."""
+    from libsdr_tpu.apps.multimode import scan_multimode
+    from tests.test_apps import make_mixed_band
+
+    m = 16
+    fs = m * 24_000.0
+    mode_map = {2: "pocsag", 5: "ax25", 9: "rtty", 12: "psk31"}
+    wide = make_mixed_band(mode_map, m)
+    # Noise floor: in a noiseless synthetic band the square-FSK splatter is
+    # CORRELATED leakage that decodes on other channels too (same note as
+    # the scanner smoke test); real bands have noise.
+    rng = np.random.default_rng(5)
+    wide = wide + 0.004 * (rng.normal(size=len(wide))
+                           + 1j * rng.normal(size=len(wide)))
+    found = scan_multimode(wide.astype(np.complex64), fs, m, mode_map,
+                           block=m * 4800)
+    assert 2 in found and found[2][1][0].address == 99
+    assert found[2][1][0].as_text().startswith("MIXED")
+    assert 5 in found and found[5][1][0][0].frm.call == "K3MM"
+    assert 9 in found and "MULTI" in found[9][1]
+    assert 12 in found and "cq tpu" in found[12][1]
+
+
 def test_long_stream_block_boundaries_on_chip():
     """50 blocks of a pure FM tone through the fused chain: the carry
     hand-off (FIR tail + discriminator prev + deemph state) must leave NO
