@@ -42,7 +42,7 @@ from libsdr_tpu.core import cplx
 from libsdr_tpu.core.ragged import Ragged, compact_windows, min_valid_gap, \
     pick_window
 from libsdr_tpu.parallel.halo import _tree_where, last_shard_tail, pass_right
-from libsdr_tpu.parallel.wideband import _taps, _validate, channelize_segment
+from libsdr_tpu.parallel.wideband import _taps, _validate, channelize_local
 
 
 def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
@@ -129,7 +129,9 @@ def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
             halo = pass_right(tail, axis)
             hist = _tree_where(idx == 0, hist_g, halo)
             new_hist = last_shard_tail(tail, axis)
-        y = channelize_segment(x_local, hist, taps, m, p)    # (M, t_loc)
+        # Same per-device fast path as the single-chip Channelizer: the
+        # fused Pallas PFB kernel where shapes allow, XLA fallback else.
+        y = channelize_local(x_local, hist, taps_np, taps, m, p)  # (M, t_loc)
         if n > 1:
             # (M, t/n) time-sharded -> (M/n, t_full) channel-sharded: the
             # complex bank rides the ICI once.

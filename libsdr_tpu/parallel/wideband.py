@@ -43,6 +43,30 @@ from libsdr_tpu.parallel.halo import _tree_where, last_shard_tail, pass_right
 _LANES = 128
 
 
+def channelize_local(x_local: Complex, hist: Complex, taps3_np, taps3_dev,
+                     m: int, p: int) -> Complex:
+    """Demod-free sibling of ops/wideband_rx.py::wideband_fm_local: the
+    per-device channelize stage SHARED by single- and multi-chip bodies —
+    the fused Pallas PFB kernel where shapes allow (ops/pallas_pfb.py),
+    its bit-equivalent XLA fallback (:func:`channelize_segment`)
+    elsewhere.  Returns the (..., M, t) channel-major complex bank."""
+    from libsdr_tpu.ops import pallas_pfb
+    from libsdr_tpu.ops.fir import kernel_dispatch
+
+    lead = x_local.shape[:-1]
+    t = x_local.shape[-1] // m
+    use_k, interp = kernel_dispatch()
+    if (not lead and t > p and use_k
+            and pallas_pfb.mxu_pfb_supported(m, t, p,
+                                             dtype=x_local.re.dtype)):
+        frames = x_local.reshape((t, m))
+        y_lane = pallas_pfb.pfb_mxu(frames, hist, taps3_np, m,
+                                    interpret=interp)
+        lp = pallas_pfb.lane_of_channel(m)
+        return y_lane[:, lp].map(lambda a: jnp.swapaxes(a, -1, -2))
+    return channelize_segment(x_local, hist, taps3_dev, m, p)
+
+
 def channelize_segment(x_local: Complex, hist: Complex, taps3: jnp.ndarray,
                        m: int, p: int) -> Complex:
     """Channelizer body on a time segment given the P-frame history (same

@@ -475,6 +475,49 @@ def test_sharded_multimode_matches_single_device():
             np.testing.assert_array_equal(d1 * v1, dn * vn)
 
 
+def test_multimode_shard_map_runs_real_kernel_interpret():
+    """The n=8 multimode body executes the REAL fused PFB Pallas kernel
+    (interpret mode) for its channelize stage — bit-identical to the n=1
+    kernel run, and within a small bit-flip fraction of the XLA path
+    (thresholded bits can flip on near-tie samples)."""
+    from jax.sharding import Mesh
+    from libsdr_tpu.ops.fir import kernel_mode
+    from libsdr_tpu.ops.pallas_pfb import mxu_pfb_supported
+    from libsdr_tpu.parallel.multimode import build_multimode_step
+
+    m, n_dev = 128, 8
+    fs = m * 24_000.0
+    t_full = 128
+    block = m * t_full
+    pattern = ("pocsag", "ax25")
+    assert mxu_pfb_supported(m, t_full // n_dev, 8)   # no silent fallback
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=block) + 1j * rng.normal(size=block)
+         ).astype(np.complex64) * 0.4
+
+    outs = {}
+    for label, n, mode in (("k1", 1, "interpret"), ("k8", n_dev, "interpret"),
+                           ("x8", n_dev, "off")):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+        with kernel_mode(mode):
+            step, init_carry, place, _ = build_multimode_step(
+                mesh, m, block, fs, pattern)
+            c = init_carry()
+            c, o = step(c, place(x))
+        outs[label] = {md: (np.asarray(r.data), np.asarray(r.valid))
+                       for md, r in o.items()}
+    for md in pattern:
+        # kernel path: n=1 vs n=8 bit-identical
+        np.testing.assert_array_equal(outs["k1"][md][1], outs["k8"][md][1])
+        np.testing.assert_array_equal(
+            outs["k1"][md][0] * outs["k1"][md][1],
+            outs["k8"][md][0] * outs["k8"][md][1])
+        # kernel vs XLA: same bit count scale, tiny flip fraction
+        vk, vx = outs["k8"][md][1], outs["x8"][md][1]
+        agree = (outs["k8"][md][0] * vk) == (outs["x8"][md][0] * vx)
+        assert agree.mean() > 0.99, agree.mean()
+
+
 def test_sharded_multimode_decodes_mixed_band():
     """END-TO-END over the 8-device mesh: a TX-synthesized mixed band fed
     through the sharded multi-mode bank decodes all four modes (POCSAG
