@@ -59,7 +59,10 @@ class _Reader:
         self.i = 0
 
     def digit(self) -> Optional[int]:
-        if self.i < len(self.s) and self.s[self.i].isdigit():
+        # ASCII-only, like the reference's __is_number ('0' <= c <= '9',
+        # src/aprs.cc:12): str.isdigit() also accepts Unicode digits
+        # (e.g. latin-1 superscripts), which must NOT parse.
+        if self.i < len(self.s) and "0" <= self.s[self.i] <= "9":
             d = ord(self.s[self.i]) - 0x30
             self.i += 1
             return d
@@ -143,7 +146,7 @@ def _read_time(r: _Reader, now: datetime.datetime) -> Optional[datetime.datetime
         if k == "h":
             return (now.replace(hour=0, minute=0, second=0)
                     + td(hours=a, minutes=b, seconds=c))
-        if k is not None and k.isdigit():
+        if k is not None and "0" <= k <= "9":     # ASCII, like the reference
             d2 = r.digit()
             if d2 is None:
                 return None

@@ -29,10 +29,8 @@ import jax.numpy as jnp
 
 from libsdr_tpu.core import cplx
 from libsdr_tpu.core.block import Processor
-from libsdr_tpu.core.cplx import Complex
 from libsdr_tpu.core.stream import ConfigError, StreamSpec
 from libsdr_tpu.ops import firdesign
-from libsdr_tpu.ops.fft import fft
 
 
 def prototype_lowpass(n_channels: int, taps_per_branch: int,
@@ -110,40 +108,20 @@ class Channelizer(Processor):
         return cplx.zeros(shape, self.in_spec.real_dtype)
 
     def apply(self, carry, x):
-        import jax
+        # Dispatch policy (Pallas PFB kernel where shapes allow, the
+        # staged XLA body elsewhere) lives in ONE place, shared with the
+        # multi-chip shard_map bodies: parallel/wideband.channelize_local.
+        from libsdr_tpu.parallel.wideband import channelize_local
 
         m, p = self.m, self.p
         lead = x.shape[:-1]
         t = x.shape[-1] // m
-        frames = x.reshape(lead + (t, m))                   # raw frame t
-        from libsdr_tpu.ops.fir import kernel_dispatch
-        use_k, interp = kernel_dispatch()
-        if not lead and t > p and use_k:
-            from libsdr_tpu.ops import pallas_pfb
-            if pallas_pfb.mxu_pfb_supported(m, t, p, dtype=x.re.dtype):
-                # Fused Pallas kernel: one pass over the wideband stream
-                # (~5x the staged XLA path at M=1024 on the v5e); its lane-
-                # permuted time-major output is regathered to this op's
-                # public (M, t) channel-major contract.
-                y_lane = pallas_pfb.pfb_mxu(frames, carry, self._taps3_np, m,
-                                            interpret=interp)
-                lp = pallas_pfb.lane_of_channel(m)
-                y = y_lane[:, lp].map(lambda a: jnp.swapaxes(a, -1, -2))
-                # Slice the 1-D stream, then reshape: slicing the (t, m)
-                # reshape would materialize the whole reshaped block.
-                return x[..., (t - p) * m:].reshape((p, m)), y
-        histf = cplx.concatenate([carry, frames], axis=-2)  # (.., t+P, M)
-        # u'[t, q'] = sum_k' taps3[k', q'] * histf[t + P - k', q'] — the
-        # commutator-reversed branch signals on UNREVERSED lanes (the
-        # reversal lives in the taps3 column order, see _bind).
-        acc = None
-        for k in range(p + 1):
-            seg = histf[..., (p - k):(p - k) + t, :]
-            term = seg * self._taps[k]
-            acc = term if acc is None else acc + term
-        # Channel synthesis on reversed lanes: y_c = sum_q u_q e^{+2i pi qc/M}
-        # = sum_q' u'_{q'} e^{-2i pi q'c/M} = the (unscaled) FORWARD DFT.
-        y = fft(acc)                                        # (..., t, M)
-        y = y.map(lambda a: jnp.swapaxes(a, -1, -2))        # (..., M, t)
-        new_carry = histf[..., histf.shape[-2] - p:, :]
+        y = channelize_local(x, carry, self._taps3_np, self._taps, m, p)
+        if t >= p:
+            # Slice the 1-D stream, then reshape: slicing the (t, m)
+            # reshape would materialize the whole reshaped block.
+            new_carry = x[..., (t - p) * m:].reshape(lead + (p, m))
+        else:
+            frames = x.reshape(lead + (t, m))
+            new_carry = cplx.concatenate([carry, frames], axis=-2)[..., t:, :]
         return new_carry, y

@@ -90,24 +90,15 @@ def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
         for mode in modes}
 
     # Per-mode chains: LOCAL pipelines (the shard_map body's program, bound
-    # to the device-local channel count) + GLOBAL ones (carry building and
-    # shard specs) — the scanner's make_chain pattern.
-    def make(nch: int) -> Dict[str, Pipeline]:
-        out = {}
-        for mode in modes:
-            pl = Pipeline(_mode_stages(mode), name=f"bank_{mode}")
-            pl.bind(StreamSpec(np.complex64, ch_rate, t_full,
-                               channels=(nch,)))
-            out[mode] = pl
-        return out
-
-    sub_l = make(g)
-    sub_g = {}
-    for mode in modes:
+    # to that mode's device-local group size) + GLOBAL ones (carry building
+    # and shard specs) — the scanner's make_chain pattern.
+    def make(mode: str, nch: int) -> Pipeline:
         pl = Pipeline(_mode_stages(mode), name=f"bank_{mode}")
-        pl.bind(StreamSpec(np.complex64, ch_rate, t_full,
-                           channels=(len(groups[mode]),)))
-        sub_g[mode] = pl
+        pl.bind(StreamSpec(np.complex64, ch_rate, t_full, channels=(nch,)))
+        return pl
+
+    sub_l = {mode: make(mode, len(loc_groups[mode])) for mode in modes}
+    sub_g = {mode: make(mode, len(groups[mode])) for mode in modes}
 
     windows = {}
     for mode in modes:

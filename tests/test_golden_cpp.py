@@ -1033,6 +1033,10 @@ def test_aprs_parse_parity_with_reference(tmp_path):
         b"/000000z6012.00N/02458.00E_day zero",    # z, tm_mday = 0
         b"@01310000" + b"4903.50N/07201.75W[ovf",  # MDHM, Feb 31
         b"@256075h4903.50N/07201.75WOwrap",        # h, 25:60:75
+        # Non-ASCII byte where a digit is required: the reference's ASCII
+        # '0'..'9' check rejects it (str.isdigit() would accept U+00B2) ->
+        # time AND location drop, comment stays empty.
+        b"@09\xb2245z4903.50N/07201.75W-badtime",
     ]
     fs = 24000.0
     line_all = []
