@@ -340,7 +340,9 @@ def test_sliding_sum_band_matrix_edges(rng):
     from libsdr_tpu.core.cplx import Complex as C
     from libsdr_tpu.ops.fsk import sliding_sum
 
-    for L in (2, 3, 127, 128, 129, 255, 256, 257, 384):
+    # 640 > b: the window spans more than a whole block (RTTY's L=264 on
+    # small bind blocks), so the carried tail exceeds the block length.
+    for L in (2, 3, 127, 128, 129, 255, 256, 257, 384, 640):
         b = 512
         u = rng.normal(size=(2, 2 * b)).astype(np.float32)
         tail = np.zeros((2, L - 1), np.float32)
