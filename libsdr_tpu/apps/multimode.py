@@ -165,6 +165,68 @@ def decode_mode_bits(mode: str, bits: np.ndarray):
     raise SystemExit(f"unknown mode {mode!r} (use {'/'.join(MODES)})")
 
 
+def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
+                           mode_pattern, block: int = None, devices=None
+                           ) -> Dict[int, Tuple[str, object]]:
+    """Run the bank SHARDED over a device mesh (all local devices by
+    default; n == 1 degenerates to the single-chip fused path).  Channels
+    get modes by the repeating ``mode_pattern`` (channel ch ->
+    ``mode_pattern[ch % len(pattern)]``); see
+    parallel/multimode.build_multimode_step for the stage layout.
+    Returns {channel: (mode, decoded)} like :func:`scan_multimode`."""
+    import math
+
+    import jax
+    from jax.sharding import Mesh
+    from libsdr_tpu.core.ragged import Ragged, compact
+    from libsdr_tpu.parallel.multimode import build_multimode_step
+
+    devs = list(devices) if devices is not None else jax.devices()
+    m, n, p = n_channels, len(devs), 8
+    pat = list(mode_pattern)
+    # t_full must divide by n (time shards), hold >= n*(P+1) frames, and
+    # suit the PSK31 decimator when that mode is in the pattern.
+    req = math.lcm(n, 12 if "psk31" in pat else 1)
+    if block is None:
+        t_full = (int(fs // 2) // m) // req * req
+    else:
+        t_full = (int(block) // m) // req * req
+    t_full = max(t_full, math.ceil(n * (p + 1) / req) * req)
+    block = m * t_full
+
+    mesh = Mesh(np.asarray(devs), ("d",))
+    step, init_carry, place, groups = build_multimode_step(
+        mesh, m, block, fs, pat, taps_per_branch=p)
+    carry = init_carry()
+    acc = {mode: [] for mode in groups}
+    pending = []          # 2-deep: overlap device compute with host drain
+
+    def drain(outs):
+        for mode, bits in outs.items():
+            acc[mode].append((np.asarray(bits.data), np.asarray(bits.valid)))
+
+    for blk in stream_blocks(iq, block):
+        carry, outs = step(carry, place(blk))
+        pending.append(outs)
+        if len(pending) > 2:
+            drain(pending.pop(0))
+    for outs in pending:
+        drain(outs)
+
+    found: Dict[int, Tuple[str, object]] = {}
+    for mode, idxs in groups.items():
+        if not acc[mode]:    # empty/short capture: nothing to decode
+            continue
+        data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
+        valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
+        for row, ch in enumerate(idxs):
+            bits = compact(Ragged(data[row], valid[row]))
+            out = decode_mode_bits(mode, bits)
+            if (out if not isinstance(out, str) else out.strip()):
+                found[int(ch)] = (mode, out)
+    return found
+
+
 def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
                    mode_map: Dict[int, str], block: int = None
                    ) -> Dict[int, Tuple[str, object]]:
@@ -224,16 +286,30 @@ def main(argv=None):
         "POCSAG/AX.25/RTTY/PSK31 decode (BASELINE config 4)")
     add_source_args(ap)
     ap.add_argument("--channels", type=int, default=16)
-    ap.add_argument("--map", required=True,
+    ap.add_argument("--map",
                     help="per-channel modes, e.g. '2:pocsag,5:ax25,9:rtty'")
+    ap.add_argument("--pattern",
+                    help="repeating channel->mode pattern (e.g. "
+                         "'pocsag,ax25,rtty,psk31'): every channel gets a "
+                         "mode and the bank runs SHARDED over all local "
+                         "devices (parallel/multimode.py)")
     args = ap.parse_args(argv)
     sdrlog.set_level(args.log_level)
+    if bool(args.map) == bool(args.pattern):
+        raise SystemExit("give exactly one of --map / --pattern")
 
     iq, fs = load_source(args)
     if not np.iscomplexobj(iq):
         raise SystemExit("multimode expects an IQ capture")
-    mode_map = _parse_map(args.map)
-    found = scan_multimode(iq, fs, args.channels, mode_map)
+    if args.pattern:
+        pat = [p.strip().lower() for p in args.pattern.split(",") if p.strip()]
+        bad = [p for p in pat if p not in MODES]
+        if bad or not pat:
+            raise SystemExit(f"--pattern modes must be in {'/'.join(MODES)}")
+        found = scan_multimode_sharded(iq, fs, args.channels, pat)
+    else:
+        mode_map = _parse_map(args.map)
+        found = scan_multimode(iq, fs, args.channels, mode_map)
     m = args.channels
     for ch in sorted(found):
         mode, out = found[ch]

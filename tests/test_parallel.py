@@ -519,15 +519,13 @@ def test_multimode_shard_map_runs_real_kernel_interpret():
 
 
 def test_sharded_multimode_decodes_mixed_band():
-    """END-TO-END over the 8-device mesh: a TX-synthesized mixed band fed
-    through the sharded multi-mode bank decodes all four modes (POCSAG
-    page, AX.25/APRS position frame, RTTY text, PSK31 text) on the right
+    """END-TO-END over the 8-device mesh via the public app API
+    (apps/multimode.scan_multimode_sharded): a TX-synthesized mixed band
+    through the sharded bank decodes all four modes (POCSAG page,
+    AX.25/APRS position frame, RTTY text, PSK31 text) on the right
     channels."""
     import jax
-    from jax.sharding import Mesh
-    from libsdr_tpu.apps.multimode import decode_mode_bits
-    from libsdr_tpu.core.ragged import Ragged, compact
-    from libsdr_tpu.parallel.multimode import build_multimode_step
+    from libsdr_tpu.apps.multimode import scan_multimode_sharded
     from tests.test_apps import make_mixed_band
 
     m, n_dev = 32, 8
@@ -537,27 +535,9 @@ def test_sharded_multimode_decodes_mixed_band():
     active = {4: "pocsag", 9: "ax25", 14: "rtty", 19: "psk31"}
     wide = make_mixed_band(active, m)
 
-    t_full = 4608                     # % 12 == 0 (PSK31), /8 >= P+1 frames
-    block = m * t_full
-    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("d",))
-    step, init_carry, place, groups = build_multimode_step(
-        mesh, m, block, fs, pattern)
-    c = init_carry()
-    acc = {mode: [] for mode in pattern}
-    for i in range(0, len(wide) - block + 1, block):
-        c, outs = step(c, place(wide[i:i + block]))
-        for mode, r in outs.items():
-            acc[mode].append((np.asarray(r.data), np.asarray(r.valid)))
-
-    decoded = {}
-    for mode in pattern:
-        data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
-        valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
-        for row, ch in enumerate(groups[mode]):
-            bits = compact(Ragged(data[row], valid[row]))
-            out = decode_mode_bits(mode, bits)
-            if (out if not isinstance(out, str) else out.strip()):
-                decoded[int(ch)] = out
+    found = scan_multimode_sharded(wide, fs, m, pattern, block=m * 4608,
+                                   devices=jax.devices()[:n_dev])
+    decoded = {ch: out for ch, (mode, out) in found.items()}
 
     msgs = decoded[4]
     assert msgs[0].address == 99 and msgs[0].as_text().startswith("MIXED")
