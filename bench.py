@@ -35,7 +35,31 @@ def build(n_channels: int, block: int, fs: float = 960_000.0,
     return rx
 
 
+def _arm_watchdog() -> None:
+    """Hard-exit if the bench wedges (the tunneled TPU backend can hang in
+    device init or dispatch with no Python-level timeout ever firing).  A
+    clean nonzero exit beats an indefinite hang for whoever runs this.
+    Override with LIBSDR_BENCH_WATCHDOG_S (0 disables)."""
+    import os
+    import threading
+
+    deadline = float(os.environ.get("LIBSDR_BENCH_WATCHDOG_S", "2700"))
+    if deadline <= 0:
+        return
+
+    def _fire():
+        import sys
+        print(f"bench.py watchdog: no result after {deadline:.0f}s "
+              "(TPU tunnel wedged?) — aborting", file=sys.stderr)
+        os._exit(1)
+
+    t = threading.Timer(deadline, _fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
