@@ -40,6 +40,23 @@ def _on_tpu() -> bool:
         return False
 
 
+def reset_fusion_state(stages: List) -> None:
+    """Clear the fusion state fuse_stages writes onto stage INSTANCES
+    (folded rotations, fold_nco flags).  Called before every rewrite, and
+    by Pipeline._bind's unfused fallback — restoring the original stage
+    list after a fused bind failure without this would leave a dropped
+    FreqShift's rotation folded in the demod and apply it twice."""
+    from libsdr_tpu.ops.baseband import IQBaseBand
+    from libsdr_tpu.ops.demod import FMDemod
+
+    for st in stages:
+        if isinstance(st, FMDemod):
+            st._pending_rot_freqs = []
+            st._rot = None
+        if isinstance(st, IQBaseBand):
+            st.fold_nco = False
+
+
 def fuse_stages(stages: List) -> List:
     """Return a rewritten stage list with NCO rotations folded into
     rotation-invariant / product-form consumers."""
@@ -50,12 +67,7 @@ def fuse_stages(stages: List) -> List:
     # Fusion state lives on the stage instances; reset it first so that
     # re-binding, or reusing a stage object in a different pipeline, never
     # inherits stale rotations/flags from an earlier fusion decision.
-    for st in stages:
-        if isinstance(st, FMDemod):
-            st._pending_rot_freqs = []
-            st._rot = None
-        if isinstance(st, IQBaseBand):
-            st.fold_nco = False
+    reset_fusion_state(stages)
 
     out: List = []
     i = 0

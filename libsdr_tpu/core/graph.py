@@ -68,6 +68,11 @@ class Pipeline(Processor):
             if (len(self.stages) == len(orig)
                     and all(a is b for a, b in zip(self.stages, orig))):
                 raise
+            # fuse_stages mutated state on the ORIGINAL instances (a
+            # dropped FreqShift's rotation folded into the demod, fold_nco
+            # flags) — clear it, or the restored stages apply it twice.
+            from libsdr_tpu.core.fuse import reset_fusion_state
+            reset_fusion_state(orig)
             self.stages = orig
             spec = in_spec
             for stage in orig:

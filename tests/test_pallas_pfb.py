@@ -125,6 +125,41 @@ def test_fusion_bind_fallback_small_block():
     assert [type(s).__name__ for s in p2.stages] == ["WidebandFM"]
 
 
+def test_fusion_fallback_resets_folded_rotation(rng):
+    """The unfused fallback must UNDO in-place fusion state: fuse_stages
+    drops a FreqShift by folding its rotation into the quadrature FMDemod
+    (_pending_rot_freqs); if a LATER fusion's bind then fails (WidebandFM
+    block constraint) and the original stages are restored, the restored
+    FreqShift and the folded rotation would both apply — audio demodulated
+    at the wrong offset (core/fuse.py reset_fusion_state)."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core import run_pipeline
+    from libsdr_tpu.ops import Channelizer, FMDemod, FreqShift, ToComplex
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    m, f = 16, 3_000.0
+    fs = m * 25_000.0
+    spec = StreamSpec(np.complex64, fs, m * 4)   # 4 frames < P = 8
+    stages = lambda: [FreqShift(f, "exact"), FMDemod("quadrature"),
+                      ToComplex(), Channelizer(m), FMDemod()]
+    x = (rng.standard_normal(m * 4) +
+         1j * rng.standard_normal(m * 4)).astype(np.complex64)
+
+    with kernel_mode("interpret"):
+        fused = Pipeline(stages())
+        fused.bind(spec)                 # WidebandFM bind fails -> fallback
+    assert [type(s).__name__ for s in fused.stages] == [
+        "FreqShift", "FMDemod", "ToComplex", "Channelizer", "FMDemod"]
+    assert fused.stages[1]._pending_rot_freqs == []   # rotation NOT folded
+
+    plain = Pipeline(stages(), optimize=False)
+    plain.bind(spec)
+    _, got = run_pipeline(fused, [x])
+    _, want = run_pipeline(plain, [x])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+
+
 def test_widebandfm_matches_unfused_pipeline(rng):
     """WidebandFM (XLA fallback on CPU, layout='channel') streams
     identically to [Channelizer -> FMDemod] over multiple blocks."""
