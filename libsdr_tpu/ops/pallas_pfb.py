@@ -133,8 +133,8 @@ def _kernel_pfb(hr_ref, hi_ref, taps_ref, twr_ref, twi_ref, wr_ref, wim_ref,
                 n2: int, p: int, gain: float, demod: bool,
                 precision: str = "x3"):
     if demod:
-        (audio_ref, ylr_ref, yli_ref, wr_win, wi_win, gr_s, gi_s, pr_s,
-         pi_s, sems) = refs
+        (audio_ref, ylr_ref, yli_ref, y0r_ref, y0i_ref, wr_win, wi_win,
+         gr_s, gi_s, pr_s, pi_s, sems) = refs
     else:
         yr_ref, yi_ref, wr_win, wi_win, gr_s, gi_s, pr_s, pi_s, sems = refs
     wi = pl.program_id(0)
@@ -276,6 +276,16 @@ def _kernel_pfb(hr_ref, hi_ref, taps_ref, twr_ref, twi_ref, wr_ref, wim_ref,
             yr_ref[:, lo:hi_] = yr
             yi_ref[:, lo:hi_] = yi
         else:
+            # Export the FIRST frame's y (pre-demod): the right neighbor's
+            # true discriminator seed in the sharded wideband step
+            # (parallel/wideband.py ppermutes y_last and re-demodulates
+            # row 0 from it).  Constant-index out block — written once at
+            # grid step 0, flushed at the end of the grid.
+            @pl.when(wi == 0)
+            def _():
+                y0r_ref[0:1, lo:hi_] = yr[0:1, :]
+                y0i_ref[0:1, lo:hi_] = yi[0:1, :]
+
             # quadrature discriminator: z = y[t] * conj(y[t-1]) per lane
             pr = pr_s[0:1, lo:hi_]
             pi = pi_s[0:1, lo:hi_]
@@ -343,10 +353,9 @@ def _pfb_call(xr, xi, hr, hi, taps, twr, twi, wr, wim, pr, pi, m: int,
     prev_block = pl.BlockSpec((8, m), lambda wi: (0, 0),
                               memory_space=pltpu.VMEM)
     if demod:
-        out_shape = [jax.ShapeDtypeStruct((f_total, m), jnp.float32),
-                     jax.ShapeDtypeStruct((8, m), jnp.float32),
-                     jax.ShapeDtypeStruct((8, m), jnp.float32)]
-        out_specs = [out_block, prev_block, prev_block]
+        out_shape = ([jax.ShapeDtypeStruct((f_total, m), jnp.float32)]
+                     + [jax.ShapeDtypeStruct((8, m), jnp.float32)] * 4)
+        out_specs = [out_block] + [prev_block] * 4
     else:
         out_shape = [jax.ShapeDtypeStruct((f_total, m), jnp.float32)] * 2
         out_specs = [out_block, out_block]
@@ -400,7 +409,9 @@ def pfb_mxu(x: Complex, hist: Complex, taps3: np.ndarray, m: int,
         discriminator chain across blocks).
       demod: False -> returns Complex (F, M) channel samples; True ->
         returns (f32 (F, M) FM audio, Complex (1, M) final channel sample
-        per lane — the next block's ``prev``).
+        per lane — the next block's ``prev`` — and Complex (1, M) FIRST
+        channel sample per lane — the right neighbor's true seed in the
+        sharded wideband step, parallel/wideband.py).
 
     Output lanes are channel-permuted: lane L carries channel
     ``channel_of_lane(m)[L]``.  Time-major: row t = frame t.
@@ -426,6 +437,7 @@ def pfb_mxu(x: Complex, hist: Complex, taps3: np.ndarray, m: int,
                      gain=float(gain), demod=demod,
                      precision=_kernel_precision(), interpret=interpret)
     if demod:
-        audio, ylr, yli = outs
-        return audio, Complex(ylr[0:1, :], yli[0:1, :])
+        audio, ylr, yli, y0r, y0i = outs
+        return (audio, Complex(ylr[0:1, :], yli[0:1, :]),
+                Complex(y0r[0:1, :], y0i[0:1, :]))
     return Complex(outs[0], outs[1])

@@ -37,6 +37,34 @@ from libsdr_tpu.core.stream import ConfigError, StreamSpec
 from libsdr_tpu.ops.channelizer import fold_commutator, prototype_lowpass
 
 
+def fm_local_kernel_ok(lead, f_total: int, m: int, p: int, dtype) -> bool:
+    """Whether :func:`wideband_fm_local` will take the Pallas kernel path
+    for these shapes in the CURRENT trace context — exposed so the sharded
+    step (parallel/wideband.py) can pick the matching row-0 re-demod
+    formula (:func:`fm_demod1`)."""
+    from libsdr_tpu.ops import pallas_pfb
+    from libsdr_tpu.ops.fir import kernel_dispatch
+
+    use_k, _ = kernel_dispatch()
+    return bool(not tuple(lead) and f_total > p and use_k
+                and pallas_pfb.mxu_pfb_supported(m, f_total, p, dtype=dtype,
+                                                 demod=True))
+
+
+def fm_demod1(y, prev, gain: float, kernel: bool = True):
+    """ONE discriminator output row per lane from (..., 1, M) ``y`` and
+    ``prev`` — the EXACT elementwise op sequence of the Pallas kernel's
+    demod epilogue (planar z products + ``_atan2_poly``,
+    ops/pallas_pfb.py::_kernel_pfb), so a row patched with this matches the
+    in-kernel value.  Used by the sharded wideband step to seed shard
+    boundaries with the left neighbor's kernel-exported y_last."""
+    assert kernel, "XLA-fallback boundaries are seeded in-call instead"
+    from libsdr_tpu.ops.pallas_fir_mxu import _atan2_poly
+    zr = y.re * prev.re + y.im * prev.im
+    zi = y.im * prev.re - y.re * prev.im
+    return jnp.float32(gain) * _atan2_poly(zi, zr)
+
+
 def wideband_fm_local(x, hist, prev, taps3_np, taps3_dev, m: int, p: int,
                       gain: float = 1.0):
     """The per-device fused channelize+FM stage, SHARED by the single-chip
@@ -53,7 +81,9 @@ def wideband_fm_local(x, hist, prev, taps3_np, taps3_dev, m: int, p: int,
         const cache, device array for the XLA fallback).
 
     Returns (audio_lane (..., F, M) f32 time-major lane-permuted,
-    y_last (..., 1, M) planar — the next segment's ``prev``).
+    y_last (..., 1, M) planar — the next segment's ``prev`` — and
+    y_first (..., 1, M) planar — the first frame's channel samples, the
+    RIGHT neighbor's true seed in the sharded step).
     """
     from libsdr_tpu.ops import pallas_pfb
     from libsdr_tpu.ops.fir import kernel_dispatch
@@ -61,11 +91,8 @@ def wideband_fm_local(x, hist, prev, taps3_np, taps3_dev, m: int, p: int,
 
     lead = x.shape[:-1]
     f_total = x.shape[-1] // m
-    use_k, interp = kernel_dispatch()
-    use_kernel = (not lead and f_total > p and use_k
-                  and pallas_pfb.mxu_pfb_supported(
-                      m, f_total, p, dtype=x.re.dtype, demod=True))
-    if use_kernel:
+    _, interp = kernel_dispatch()
+    if fm_local_kernel_ok(lead, f_total, m, p, x.re.dtype):
         frames = x.reshape(lead + (f_total, m))
         return pallas_pfb.pfb_mxu(frames, hist, taps3_np, m, gain=gain,
                                   prev=prev, demod=True, interpret=interp)
@@ -77,7 +104,8 @@ def wideband_fm_local(x, hist, prev, taps3_np, taps3_dev, m: int, p: int,
         lambda a: jnp.swapaxes(a, -1, -2))            # (..., F, M)
     shifted = cplx.concatenate([prev, y_lane[..., :-1, :]], axis=-2)
     audio_lane = (y_lane * shifted.conj()).angle() * gain
-    return audio_lane, y_lane[..., f_total - 1:f_total, :]
+    return (audio_lane, y_lane[..., f_total - 1:f_total, :],
+            y_lane[..., 0:1, :])
 
 
 class WidebandFM(Processor):
@@ -155,7 +183,7 @@ class WidebandFM(Processor):
         lead = x.shape[:-1]
         b = x.shape[-1]
         f_total = b // m
-        audio_lane, new_prev = wideband_fm_local(
+        audio_lane, new_prev, _ = wideband_fm_local(
             x, hist, prev, self._taps3, self._taps3_dev, m, p,
             gain=self.gain)
         # Carry: the last P raw frames.  NOTE: slice the 1-D stream FIRST,

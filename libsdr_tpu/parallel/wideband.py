@@ -7,12 +7,17 @@ Stage layout over an n-device 1-D mesh ('d',):
    split along time; each device runs the SAME fused PFB+FM path as the
    single-chip op (ops/wideband_rx.py::wideband_fm_local — the Pallas
    kernel on TPU, its bit-equivalent XLA fallback elsewhere) on its B/n
-   segment.  The (P+1)-frame filter history arrives as a ppermute halo (the
-   distributed form of the channelizer carry); the quadrature
-   discriminator's y[-1] seed for the segment is recomputed locally from
-   that halo (a single-frame channelize — the halo is one frame wider than
-   the filter needs exactly so this is possible), so the demod fuses INTO
-   the channelizer kernel and only f32 audio ever crosses the ICI.
+   segment.  The P-frame filter history arrives as a ppermute halo (the
+   distributed form of the channelizer carry).  The quadrature
+   discriminator's y[-1] seed is the LEFT neighbor's last channelizer
+   output, carried by a second tiny (1, M) ppermute: on the kernel path it
+   is the kernel's own y_last EXPORT (an XLA recompute would differ by the
+   kernel's ~1e-5 matmul error) and the first audio row is re-demodulated
+   from it with the kernel's per-sample op sequence (fm_demod1); on the
+   XLA fallback each shard recomputes its own last frame's y with the
+   in-path op sequence and the seed enters the demod in-call.  Either way
+   the n > 1 stream matches the n == 1 run (bit-exactly on the fallback
+   and in interpret mode) while only f32 audio crosses the ICI in bulk.
 2. **Reshard**: one all_to_all turns (t/n local time, M channels) into
    (t full time, M/n local channels) — the decimated AUDIO rides the ICI
    once (half the bytes of the complex channel bank).
@@ -85,26 +90,27 @@ def channelize_segment(x_local: Complex, hist: Complex, taps3: jnp.ndarray,
     return y.map(lambda a: jnp.swapaxes(a, -1, -2))  # (..., M, t)
 
 
-def _prev_from_hist(histp1: Complex, taps3: jnp.ndarray, m: int,
-                    p: int) -> Complex:
-    """y (1, M) LANE-major of the single frame ``histp1[p]`` given its own
-    P-frame history ``histp1[:p]`` — i.e. the channelizer output of the
-    frame just before a device's segment, recomputed from the (P+1)-frame
-    halo.  Identical op sequence to :func:`channelize_segment` on a
-    one-frame segment, so on a deterministic backend it is bit-equal to the
-    neighbor's own last channelizer output."""
+def _seed_from_frames(framesp1: Complex, taps3: jnp.ndarray, m: int,
+                      p: int) -> Complex:
+    """y (1, M) LANE-major of the single frame ``framesp1[p]`` given its
+    own P-frame history ``framesp1[:p]`` — used on the XLA fallback path to
+    compute a device's OWN last channelizer output, which rides a (1, M)
+    ppermute to the right neighbor as its discriminator seed.  Identical op
+    sequence to :func:`channelize_segment` on a one-frame segment, so it is
+    bit-equal to this device's own in-path y_lane[-1] (the same value the
+    n == 1 program feeds the demod)."""
     from libsdr_tpu.ops.pallas_pfb import channel_of_lane
 
     acc = None
     for k in range(p + 1):
-        seg = histp1[..., (p - k):(p - k) + 1, :]
+        seg = framesp1[..., (p - k):(p - k) + 1, :]
         term = seg * taps3[k]
         acc = term if acc is None else acc + term
     # Tile the single frame to 8 rows before the DFT: a 1-row fft lowers to
     # a matvec whose reduction order differs from the multi-row matmul
     # (measured: 8.6e-7 divergence on CPU), while any >=2-row shape is
     # bitwise row-deterministic — the tile keeps the recomputed seed
-    # bit-equal to the neighbor's own channelizer output.
+    # bit-equal to the in-path channelizer output.
     acc = acc.map(lambda a: jnp.broadcast_to(
         a, a.shape[:-2] + (8, a.shape[-1])))
     y = fft(acc)[..., 0:1, :]                    # (..., 1, M) channel-major
@@ -181,7 +187,7 @@ def _taps(m: int, p: int):
 
 
 def _carry_specs():
-    # (P+1)-frame history + y[-1] lane seed, both replicated (they describe
+    # P-frame history + y[-1] lane seed, both replicated (they describe
     # the GLOBAL stream boundary; shard 0 consumes them).
     return (P(), P())
 
@@ -190,10 +196,13 @@ def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
                    axis: str, gain: float = 1.0, reorder: bool = True):
     """The unified per-device wideband stages:
 
-    1. ppermute (P+1)-frame halo; recompute the local discriminator seed
-       from it (shard 0 consumes the carried seed),
+    1. ppermute P-frame halo (the channelizer history),
     2. the SAME fused channelize+FM path as the single-chip op
        (wideband_fm_local: Pallas kernel on TPU, XLA fallback elsewhere),
+       then a second (1, M) ppermute of the kernel-exported y_last and a
+       row-0 re-demod (fm_demod1) — the shard-boundary seed is the left
+       neighbor's OWN channelizer output, so the sharded stream is
+       bit-identical to the n == 1 run on both paths,
     3. lane -> channel column reorder (one transpose) + all_to_all reshard
        of the f32 audio: time-sharded -> channel-sharded.  For n == 1 the
        reorder is a pure column permutation, so callers whose downstream
@@ -201,34 +210,57 @@ def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
        ``reorder=False`` and permute the (decimated) RESULT instead —
        skipping a full (T, M) f32 pass.
 
-    carry = (histp1 (P+1, M) raw frames, prev (1, M) lane y seed), both
+    carry = (hist (P, M) raw frames, prev (1, M) lane y seed), both
     global-stream state.  Returns (new_carry, audio): (t_full, M/n)
     channel-ordered columns, or (t, M) LANE-ordered when n == 1 and
     ``reorder=False``."""
-    from libsdr_tpu.ops.wideband_rx import wideband_fm_local
+    from libsdr_tpu.ops.wideband_rx import (fm_demod1, fm_local_kernel_ok,
+                                            wideband_fm_local)
 
-    histp1_g, prev_g = carry
+    hist_g, prev_g = carry
     t_seg = x_local.shape[-1] // m
     # Slice the 1-D stream FIRST, then reshape the small piece: slicing a
     # reshape of the full block materializes the whole reshaped array on
     # this backend (~3 ms per 128 MB — see WidebandFM.apply's NOTE).
-    tail = x_local[..., (t_seg - (p + 1)) * m:].reshape((p + 1, m))
+    tail = x_local[..., (t_seg - p) * m:].reshape((p, m))
     if n == 1:
         # Collectives on a 1-device mesh are identities, but this backend
         # lowers them (ppermute/all_to_all inside shard_map) to paths ~6x
         # slower than the op itself — skip them statically.
-        histp1 = histp1_g
-        prev = prev_g
+        hist = hist_g
         new_hist = tail
     else:
         idx = jax.lax.axis_index(axis)
         halo = pass_right(tail, axis)
-        histp1 = _tree_where(idx == 0, histp1_g, halo)
-        prev = _tree_where(idx == 0, prev_g,
-                           _prev_from_hist(histp1, taps, m, p))
+        hist = _tree_where(idx == 0, hist_g, halo)
         new_hist = last_shard_tail(tail, axis)
-    audio_lane, y_last = wideband_fm_local(
-        x_local, histp1[..., 1:, :], prev, taps_np, taps, m, p, gain=gain)
+    # Shard-boundary discriminator seed — each shard needs its LEFT
+    # neighbor's last channelizer output (what the n == 1 program feeds the
+    # demod at that position), by path:
+    #   * XLA fallback: each shard computes its OWN last frame's y with the
+    #     exact in-path op sequence (_seed_from_frames on its own tail) and
+    #     a (1, M) ppermute hands it right; the demod consumes it IN-CALL,
+    #     inside the same fused formula as every other row -> bit-exact.
+    #   * Pallas kernel: the true value exists only as the kernel's y_last
+    #     export, so the in-call seed is a placeholder and row 0 is
+    #     re-demodulated AFTER a (1, M) ppermute of y_last with the
+    #     kernel's own per-sample op sequence (fm_demod1).
+    # Shard 0 always uses the carried global seed (a prior y_last export).
+    kernel = fm_local_kernel_ok(x_local.shape[:-1], t_seg, m, p,
+                                x_local.re.dtype)
+    prev = prev_g
+    if n > 1 and not kernel:
+        tailp1 = x_local[..., (t_seg - (p + 1)) * m:].reshape((p + 1, m))
+        my_last = _seed_from_frames(tailp1, taps, m, p)
+        prev = _tree_where(idx == 0, prev_g, pass_right(my_last, axis))
+    audio_lane, y_last, y_first = wideband_fm_local(
+        x_local, hist, prev, taps_np, taps, m, p, gain=gain)
+    if n > 1 and kernel:
+        seed = pass_right(y_last, axis)
+        row0 = fm_demod1(y_first, seed, gain, kernel=True)
+        row0 = jnp.where(idx == 0, audio_lane[..., 0:1, :], row0)
+        audio_lane = jax.lax.dynamic_update_slice_in_dim(
+            audio_lane, row0, 0, axis=-2)
     new_prev = y_last if n == 1 else last_shard_tail(y_last, axis)
     if n == 1 and not reorder:
         return (new_hist, new_prev), audio_lane         # (t, M) lane
@@ -253,7 +285,7 @@ def _wideband_carry_and_place(mesh: Mesh, m: int, p: int, axis: str,
     def init_carry():
         hist = jax.tree_util.tree_map(
             lambda a: place_global(a, mesh, P()),
-            cplx.zeros((p + 1, m), dtype))
+            cplx.zeros((p, m), dtype))
         prev = jax.tree_util.tree_map(
             lambda a: place_global(a, mesh, P()),
             cplx.full_like_phasor((1, m)))

@@ -62,8 +62,9 @@ def test_pfb_kernel_demod_variant(rng):
     prev_chan = (rng.normal(size=m) + 1j * rng.normal(size=m)
                  ).astype(np.complex64)
     pb = cplx.as_block(prev_chan[chan][None, :])
-    audio, prev_out = pfb_mxu(xf, hb, taps3, m, gain=1.7, prev=pb,
-                              demod=True, interpret=True)
+    audio, prev_out, first_out = pfb_mxu(xf, hb, taps3, m, gain=1.7,
+                                         prev=pb, demod=True,
+                                         interpret=True)
     audio = np.asarray(audio)
     shifted = np.concatenate([prev_chan[:, None], ref[:, :-1]], axis=1)
     ref_audio = 1.7 * np.angle(ref * np.conj(shifted))
@@ -71,10 +72,14 @@ def test_pfb_kernel_demod_variant(rng):
     # max error is angle amplification at near-zero |z| on random data
     assert np.median(err) < 5e-5
     assert np.percentile(err, 99) < 1e-3
-    # exported prev == the last channel sample per lane
+    # exported prev == the last channel sample per lane; exported first ==
+    # the FIRST channel sample per lane (the sharded step's neighbor seed)
     got_prev = cplx.to_numpy(prev_out)[0, lp]
     err_p = np.abs(got_prev - ref[:, -1]).max() / np.abs(ref).max()
     assert err_p < 2e-5, err_p
+    got_first = cplx.to_numpy(first_out)[0, lp]
+    err_f = np.abs(got_first - ref[:, 0]).max() / np.abs(ref).max()
+    assert err_f < 2e-5, err_f
 
 
 def test_pfb_kernel_streaming_equals_oneshot(rng):
@@ -84,16 +89,16 @@ def test_pfb_kernel_streaming_equals_oneshot(rng):
     xb = cplx.as_block(x)
     big = Complex(xb.re.reshape(3 * F, m), xb.im.reshape(3 * F, m))
     hist0 = cplx.zeros((p, m))
-    one, _ = pfb_mxu(big, hist0, taps3, m, gain=1.0, demod=True,
-                     interpret=True)
+    one, _, _ = pfb_mxu(big, hist0, taps3, m, gain=1.0, demod=True,
+                        interpret=True)
     one = np.asarray(one)
     hist = hist0
     prev = None
     outs = []
     for i in range(3):
         blk = big[i * F:(i + 1) * F, :]
-        audio, prev = pfb_mxu(blk, hist, taps3, m, gain=1.0, prev=prev,
-                              demod=True, interpret=True)
+        audio, prev, _ = pfb_mxu(blk, hist, taps3, m, gain=1.0, prev=prev,
+                                 demod=True, interpret=True)
         outs.append(np.asarray(audio))
         hist = blk[F - p:, :]   # carry like WidebandFM.apply
     got = np.concatenate(outs, axis=0)

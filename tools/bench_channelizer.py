@@ -125,8 +125,8 @@ def main() -> None:
     taps3 = wb._taps3
 
     def kstep(c, v):
-        audio, prev = pallas_pfb.pfb_mxu(v, c[0], taps3, m, demod=True,
-                                         prev=c[1])
+        audio, prev, _ = pallas_pfb.pfb_mxu(v, c[0], taps3, m, demod=True,
+                                            prev=c[1])
         return (c[0], prev), audio
 
     t = bench(kstep, (hist, wb.init_carry()[1]), x2)
