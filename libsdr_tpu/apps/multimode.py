@@ -165,6 +165,16 @@ def decode_mode_bits(mode: str, bits: np.ndarray):
     raise SystemExit(f"unknown mode {mode!r} (use {'/'.join(MODES)})")
 
 
+def _t_quantum(fs: float, n_channels: int, modes) -> int:
+    """Per-block time-step quantum of the mode set: the PSK31 branch
+    decimates by D = floor(ch_rate/2000) (the IQBaseBand out_rate
+    contract, ops/baseband.py:98-102), so the per-channel step count must
+    be a D-multiple; every other mode chain is rate-preserving."""
+    if "psk31" not in set(modes):
+        return 1
+    return max(1, int((fs / n_channels) / 2000.0))
+
+
 def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
                            mode_pattern, block: int = None, devices=None
                            ) -> Dict[int, Tuple[str, object]]:
@@ -186,7 +196,7 @@ def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
     pat = list(mode_pattern)
     # t_full must divide by n (time shards), hold >= n*(P+1) frames, and
     # suit the PSK31 decimator when that mode is in the pattern.
-    req = math.lcm(n, 12 if "psk31" in pat else 1)
+    req = math.lcm(n, _t_quantum(fs, m, pat))
     if block is None:
         t_full = (int(fs // 2) // m) // req * req
     else:
@@ -234,9 +244,16 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
 
     decoded: POCSAG message list / AX.25+APRS message list / RTTY text /
     PSK31 text, per the channel's mode."""
-    from libsdr_tpu.apps.scanner import pick_block
+    import math
     m = n_channels
-    block = pick_block(fs, m, block)
+    # Same sizing as scanner.pick_block (t_full a 16-multiple) but ALSO a
+    # multiple of the PSK31 decimator when that mode is mapped.
+    req = math.lcm(16, _t_quantum(fs, m, mode_map.values()))
+    t_full = ((int(fs // 2) if block is None else int(block)) // m
+              ) // req * req
+    if t_full <= 0:
+        raise SystemExit("block too small for the channel count")
+    block = m * t_full
     step, init_carry, groups = build_bank(fs, block, m, mode_map)
     carry = init_carry()
     acc = {mode: [] for mode in groups}

@@ -422,6 +422,22 @@ def test_multimode_bank(tmp_path):
     assert "cq tpu" in found[6][1]
 
 
+def test_multimode_psk31_nonstandard_channel_rate():
+    """The PSK31 branch decimates by floor(ch_rate/2000) — only 12 at the
+    24 kHz channel spacing.  Block sizing must follow the ACTUAL channel
+    rate: at 26 kHz spacing (D=13, coprime to the 16-aligned block sizes)
+    the bank must still bind and decode (regression: hardcoded 12)."""
+    from libsdr_tpu.apps import multimode
+
+    m, ch_bw = 8, 26_000.0
+    fs = m * ch_bw
+    assert multimode._t_quantum(fs, m, ["psk31"]) == 13
+    assert multimode._t_quantum(fs, m, ["pocsag", "rtty"]) == 1
+    wide = make_mixed_band({3: "psk31"}, m, ch_bw=ch_bw)
+    found = multimode.scan_multimode(wide, fs, m, {3: "psk31"})
+    assert 3 in found and "cq tpu" in found[3][1]
+
+
 def test_scanner_and_multimode_empty_capture():
     """A capture shorter than one block yields no blocks: both bank apps
     must return empty results, not crash on an empty concatenate."""
