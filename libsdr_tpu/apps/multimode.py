@@ -165,6 +165,42 @@ def decode_mode_bits(mode: str, bits: np.ndarray):
     raise SystemExit(f"unknown mode {mode!r} (use {'/'.join(MODES)})")
 
 
+def _run_bank(blocks, step, carry, place, groups
+              ) -> Dict[int, Tuple[str, object]]:
+    """Stream ``blocks`` through a bank ``step`` with a 2-deep pending
+    window (device compute overlaps the host drain), then compact + decode
+    each channel's bit row.  Shared by :func:`scan_multimode` and
+    :func:`scan_multimode_sharded` — the only difference between them is
+    how the step is built and how a block is placed on the device(s)."""
+    acc = {mode: [] for mode in groups}
+    pending = []
+
+    def drain(outs):
+        for mode, bits in outs.items():
+            acc[mode].append((np.asarray(bits.data), np.asarray(bits.valid)))
+
+    for blk in blocks:
+        carry, outs = step(carry, place(blk))
+        pending.append(outs)
+        if len(pending) > 2:
+            drain(pending.pop(0))
+    for outs in pending:
+        drain(outs)
+
+    found: Dict[int, Tuple[str, object]] = {}
+    for mode, idxs in groups.items():
+        if not acc[mode]:    # empty/short capture: nothing to decode
+            continue
+        data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
+        valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
+        for row, ch in enumerate(idxs):
+            bits = compact(Ragged(data[row], valid[row]))
+            out = decode_mode_bits(mode, bits)
+            if (out if not isinstance(out, str) else out.strip()):
+                found[int(ch)] = (mode, out)
+    return found
+
+
 def _t_quantum(fs: float, n_channels: int, modes) -> int:
     """Per-block time-step quantum of the mode set: the PSK31 branch
     decimates by D = floor(ch_rate/2000) (the IQBaseBand out_rate
@@ -188,7 +224,6 @@ def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
 
     import jax
     from jax.sharding import Mesh
-    from libsdr_tpu.core.ragged import Ragged, compact
     from libsdr_tpu.parallel.multimode import build_multimode_step
 
     devs = list(devices) if devices is not None else jax.devices()
@@ -207,34 +242,8 @@ def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
     mesh = Mesh(np.asarray(devs), ("d",))
     step, init_carry, place, groups = build_multimode_step(
         mesh, m, block, fs, pat, taps_per_branch=p)
-    carry = init_carry()
-    acc = {mode: [] for mode in groups}
-    pending = []          # 2-deep: overlap device compute with host drain
-
-    def drain(outs):
-        for mode, bits in outs.items():
-            acc[mode].append((np.asarray(bits.data), np.asarray(bits.valid)))
-
-    for blk in stream_blocks(iq, block):
-        carry, outs = step(carry, place(blk))
-        pending.append(outs)
-        if len(pending) > 2:
-            drain(pending.pop(0))
-    for outs in pending:
-        drain(outs)
-
-    found: Dict[int, Tuple[str, object]] = {}
-    for mode, idxs in groups.items():
-        if not acc[mode]:    # empty/short capture: nothing to decode
-            continue
-        data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
-        valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
-        for row, ch in enumerate(idxs):
-            bits = compact(Ragged(data[row], valid[row]))
-            out = decode_mode_bits(mode, bits)
-            if (out if not isinstance(out, str) else out.strip()):
-                found[int(ch)] = (mode, out)
-    return found
+    return _run_bank(stream_blocks(iq, block), step, init_carry(), place,
+                     groups)
 
 
 def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
@@ -255,34 +264,8 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
         raise SystemExit("block too small for the channel count")
     block = m * t_full
     step, init_carry, groups = build_bank(fs, block, m, mode_map)
-    carry = init_carry()
-    acc = {mode: [] for mode in groups}
-    pending = []          # 2-deep: overlap device compute with host drain
-
-    def drain(outs):
-        for mode, bits in outs.items():
-            acc[mode].append((np.asarray(bits.data), np.asarray(bits.valid)))
-
-    for blk in stream_blocks(iq, block):
-        carry, outs = step(carry, cplx.as_block(blk))
-        pending.append(outs)
-        if len(pending) > 2:
-            drain(pending.pop(0))
-    for outs in pending:
-        drain(outs)
-
-    found: Dict[int, Tuple[str, object]] = {}
-    for mode, idxs in groups.items():
-        if not acc[mode]:    # empty/short capture: nothing to decode
-            continue
-        data = np.concatenate([d for d, _ in acc[mode]], axis=-1)
-        valid = np.concatenate([v for _, v in acc[mode]], axis=-1)
-        for row, ch in enumerate(idxs):
-            bits = compact(Ragged(data[row], valid[row]))
-            out = decode_mode_bits(mode, bits)
-            if (out if not isinstance(out, str) else out.strip()):
-                found[int(ch)] = (mode, out)
-    return found
+    return _run_bank(stream_blocks(iq, block), step, init_carry(),
+                     cplx.as_block, groups)
 
 
 def _parse_map(s: str) -> Dict[int, str]:
