@@ -212,14 +212,21 @@ def _t_quantum(fs: float, n_channels: int, modes) -> int:
 
 
 def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
-                           mode_pattern, block: int = None, devices=None
+                           mode_pattern, block: int = None, devices=None,
+                           plane_dtype=None, blocks=None
                            ) -> Dict[int, Tuple[str, object]]:
     """Run the bank SHARDED over a device mesh (all local devices by
     default; n == 1 degenerates to the single-chip fused path).  Channels
     get modes by the repeating ``mode_pattern`` (channel ch ->
     ``mode_pattern[ch % len(pattern)]``); see
     parallel/multimode.build_multimode_step for the stage layout.
-    Returns {channel: (mode, decoded)} like :func:`scan_multimode`."""
+    Returns {channel: (mode, decoded)} like :func:`scan_multimode`.
+
+    ``blocks``: optional callable ``block_size -> iterator`` of planar
+    blocks replacing the ``iq`` capture (e.g. ``lambda b:
+    io.ingest.stream_raw_iq_bf16(path, b)`` with
+    ``plane_dtype=jnp.bfloat16`` — the u8 wire streamed as bf16 planes
+    straight into the PFB kernel)."""
     import math
 
     import jax
@@ -241,9 +248,10 @@ def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
 
     mesh = Mesh(np.asarray(devs), ("d",))
     step, init_carry, place, groups = build_multimode_step(
-        mesh, m, block, fs, pat, taps_per_branch=p)
-    return _run_bank(stream_blocks(iq, block), step, init_carry(), place,
-                     groups)
+        mesh, m, block, fs, pat, taps_per_branch=p,
+        plane_dtype=plane_dtype)
+    src = blocks(block) if blocks is not None else stream_blocks(iq, block)
+    return _run_bank(src, step, init_carry(), place, groups)
 
 
 def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
@@ -293,23 +301,44 @@ def main(argv=None):
                          "'pocsag,ax25,rtty,psk31'): every channel gets a "
                          "mode and the bank runs SHARDED over all local "
                          "devices (parallel/multimode.py)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="stream the u8 wire format as bfloat16 planes "
+                         "straight into the PFB kernel — lossless for "
+                         "8-bit sources, halves ingest+HBM traffic "
+                         "(--raw uint8 sources with --pattern only)")
     args = ap.parse_args(argv)
     sdrlog.set_level(args.log_level)
     if bool(args.map) == bool(args.pattern):
         raise SystemExit("give exactly one of --map / --pattern")
-
-    iq, fs = load_source(args)
-    if not np.iscomplexobj(iq):
-        raise SystemExit("multimode expects an IQ capture")
     if args.pattern:
         pat = [p.strip().lower() for p in args.pattern.split(",") if p.strip()]
         bad = [p for p in pat if p not in MODES]
         if bad or not pat:
             raise SystemExit(f"--pattern modes must be in {'/'.join(MODES)}")
-        found = scan_multimode_sharded(iq, fs, args.channels, pat)
+
+    if args.bf16:
+        if not args.pattern:
+            raise SystemExit("--bf16 runs the sharded bank: use --pattern")
+        if not args.raw or np.dtype(args.raw_dtype) != np.uint8:
+            raise SystemExit("--bf16 needs a --raw uint8 (rtl_sdr wire) "
+                             "source")
+        if not args.rate:
+            raise SystemExit("--raw requires --rate")
+        import jax.numpy as jnp
+        from libsdr_tpu.io.ingest import stream_raw_iq_bf16
+        fs = args.rate
+        found = scan_multimode_sharded(
+            None, fs, args.channels, pat, plane_dtype=jnp.bfloat16,
+            blocks=lambda b: stream_raw_iq_bf16(args.raw, b))
     else:
-        mode_map = _parse_map(args.map)
-        found = scan_multimode(iq, fs, args.channels, mode_map)
+        iq, fs = load_source(args)
+        if not np.iscomplexobj(iq):
+            raise SystemExit("multimode expects an IQ capture")
+        if args.pattern:
+            found = scan_multimode_sharded(iq, fs, args.channels, pat)
+        else:
+            mode_map = _parse_map(args.map)
+            found = scan_multimode(iq, fs, args.channels, mode_map)
     m = args.channels
     for ch in sorted(found):
         mode, out = found[ch]

@@ -47,7 +47,8 @@ from libsdr_tpu.parallel.wideband import _taps, _validate, channelize_local
 
 def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
                          fs_hz: float, mode_pattern: Sequence[str],
-                         taps_per_branch: int = 8, axis: str = "d"):
+                         taps_per_branch: int = 8, axis: str = "d",
+                         plane_dtype=None):
     """Build (step, init_carry, place_input, groups) for the sharded
     multi-mode bank.
 
@@ -61,6 +62,11 @@ def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
     ``mode_pattern``: repeating channel->mode assignment, e.g.
     ``("pocsag", "ax25", "rtty", "psk31")`` gives channel ch the mode
     ``mode_pattern[ch % 4]``.  Its length must divide M / n_devices.
+
+    ``plane_dtype``: input plane dtype (e.g. ``jnp.bfloat16`` for blocks
+    straight off the u8 wire via io.ingest.stream_raw_iq_bf16 — lossless
+    for 8-bit sources, halves ingest+HBM traffic; the PFB kernel consumes
+    bf16 planes directly and the mode chains see the f32 channel bank).
     """
     from libsdr_tpu import Pipeline, StreamSpec
     from libsdr_tpu.apps.multimode import _mode_stages
@@ -140,6 +146,7 @@ def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
         return P() if np.ndim(v) == 0 else P(
             axis, *([None] * (np.ndim(v) - 1)))
 
+    in_dtype = plane_dtype if plane_dtype is not None else jnp.float32
     hist_spec = jax.tree_util.tree_map(lambda _: P(),
                                        cplx.zeros((p, m)))
     carries_spec = {mode: jax.tree_util.tree_map(
@@ -159,7 +166,8 @@ def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
 
     def init_carry():
         hist = jax.tree_util.tree_map(
-            lambda a: place_global(a, mesh, P()), cplx.zeros((p, m)))
+            lambda a: place_global(a, mesh, P()), cplx.zeros((p, m),
+                                                             in_dtype))
         carries = {}
         for mode in modes:
             cg = sub_g[mode].init_carry()

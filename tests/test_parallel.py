@@ -560,6 +560,36 @@ def test_sharded_multimode_decodes_mixed_band():
     # bank behaves identically on this fixture — verified bit-exact).
 
 
+def test_sharded_multimode_bf16_wire(tmp_path):
+    """The u8 wire -> bf16-plane ingest path reaches the SHARDED multi-mode
+    bank's PFB front end unconverted (multimode --pattern --bf16; u8 ->
+    bf16 is lossless) and all four modes still decode."""
+    from libsdr_tpu.apps import multimode
+    from tests.test_apps import make_mixed_band
+
+    m = 32
+    fs = m * 24_000.0
+    active = {4: "pocsag", 9: "ax25", 14: "rtty", 19: "psk31"}
+    wide = 0.45 * make_mixed_band(active, m)     # headroom: no u8 clipping
+    inter = np.empty(2 * wide.size, np.float32)
+    inter[0::2] = wide.real
+    inter[1::2] = wide.imag
+    u8 = np.clip(np.round(inter * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    cap = tmp_path / "wire.u8"
+    u8.tofile(cap)
+
+    found = multimode.main(["--raw", str(cap), "--rate", str(int(fs)),
+                            "--channels", str(m), "--bf16",
+                            "--pattern", "pocsag,ax25,rtty,psk31"])
+    decoded = {ch: out for ch, (mode, out) in found.items()}
+    msgs = decoded[4]
+    assert msgs[0].address == 99 and msgs[0].as_text().startswith("MIXED")
+    frames = decoded[9]
+    assert frames and frames[0][0].frm.call == "K3MM"
+    assert "MULTI" in decoded[14]
+    assert "cq tpu" in decoded[19]
+
+
 def test_sharded_scanner_matches_single_device():
     """The fully sharded scanner step (time-sharded channelizer ->
     all_to_all -> channel-sharded FM + ASK + bit-sync PLL) produces
