@@ -86,3 +86,63 @@ def shard_pipeline_step(pipeline: Pipeline, mesh: Mesh,
 
     step = jax.jit(step_fn)
     return step, place_input, carry
+
+
+def shard_map_pipeline_step(pipeline: Pipeline, mesh: Mesh,
+                            axis: str = "ch"):
+    """Channel-sharded shard_map variant of :func:`shard_pipeline_step`
+    that KEEPS the Pallas kernels.
+
+    Each device runs the pipeline's step on its own channel group with
+    device-local operands — the only sharding under which a ``pallas_call``
+    is legal — so the fused FM/AM/USB/AFSK kernels dispatch per shard
+    instead of being forced off like the GSPMD path above.  Valid for
+    CHANNELWISE pipelines (every stage maps channels independently: the
+    demod-bank chains; NOT Channelizer/Combine, whose cross-channel data
+    flow needs the explicit builders in parallel/wideband.py): the body
+    needs no collectives, so the step is exactly the single-chip program
+    replicated per channel group.
+
+    The pipeline stays bound to the GLOBAL channel count (taps and other
+    baked constants are channel-independent for channelwise stages; kernel
+    shape gates see the LOCAL operand shapes at trace time).  Returns
+    (step, place_input, carry) like :func:`shard_pipeline_step`.
+    """
+    in_spec = pipeline.in_spec
+    assert in_spec.channels, "shard_map_pipeline_step needs a channel dim"
+    n_ch = in_spec.channels[0]
+    n = int(mesh.shape[axis])
+    if n_ch % n:
+        raise ValueError(f"channels {n_ch} must divide the mesh axis "
+                         f"{axis!r} size {n}")
+
+    def leaf_spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                leaf.shape[0] == n_ch:
+            return P(axis, *([None] * (leaf.ndim - 1)))
+        return P()
+
+    carry0 = pipeline.init_carry()
+    carry_specs = jax.tree_util.tree_map(leaf_spec, carry0)
+    x_spec = P(axis, *([None] * len(in_spec.channels)))
+    block_sharding = NamedSharding(mesh, x_spec)
+
+    def place_input(block):
+        x = cplx.as_block(block)
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, block_sharding), x)
+
+    carry = jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        carry0, carry_specs)
+
+    if n == 1:
+        step = jax.jit(lambda c, x: pipeline.apply(c, x))
+    else:
+        step = jax.jit(jax.shard_map(
+            lambda c, x: pipeline.apply(c, x), mesh=mesh,
+            in_specs=(carry_specs, x_spec),
+            out_specs=(carry_specs, x_spec),
+            check_vma=False,
+        ))
+    return step, place_input, carry

@@ -122,6 +122,44 @@ def test_gspmd_step_never_traces_pallas(rng):
         assert "pallas_call" not in str(sharded)
 
 
+def test_shard_map_pipeline_keeps_kernels_bitexact(rng):
+    """shard_map_pipeline_step is the kernel-capable alternative to the
+    GSPMD path for CHANNELWISE pipelines: each device runs the fused FM
+    kernel on its own channel group (device-local operands — the sharding
+    under which a pallas_call is legal), the sharded jaxpr CONTAINS the
+    pallas_call the GSPMD path must strip, and the audio is bit-identical
+    to the n=1 run."""
+    import jax
+
+    from libsdr_tpu.ops import FMDeemph
+    from libsdr_tpu.ops.fir import kernel_mode
+    from libsdr_tpu.ops.fm_fused import FMBasebandFused
+    from libsdr_tpu.parallel.mesh import shard_map_pipeline_step
+
+    n_ch, fs, b, n_dev = 512, 192_000.0, 8192, 8
+    x = (rng.normal(size=(n_ch, b)) + 1j * rng.normal(size=(n_ch, b))
+         ).astype(np.complex64)
+
+    outs = {}
+    with kernel_mode("interpret"):
+        for n in (1, n_dev):
+            p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                     out_rate=48e3, design="textbook"),
+                          FMDemod(), FMDeemph()])
+            p.bind(StreamSpec(np.complex64, fs, b, channels=(n_ch,)))
+            assert any(isinstance(s, FMBasebandFused) for s in p.stages)
+            mesh = Mesh(np.asarray(jax.devices()[:n]), ("ch",))
+            step, place, carry = shard_map_pipeline_step(p, mesh)
+            if n > 1:
+                jx = jax.make_jaxpr(
+                    lambda c, xx: step.__wrapped__(c, xx))(carry, place(x))
+                assert "pallas_call" in str(jx), \
+                    "kernel did not survive the shard_map trace"
+            _, y = step(carry, place(x))
+            outs[n] = np.asarray(y)
+    np.testing.assert_array_equal(outs[1], outs[n_dev])
+
+
 def test_wideband_sharded_pipeline():
     """Sharded channelizer+demod == local channelizer+demod, and an FM tone
     in channel c demodulates correctly."""
