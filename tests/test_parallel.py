@@ -257,10 +257,13 @@ def test_wideband_shard_map_runs_real_kernel_interpret():
     np.testing.assert_array_equal(outs[1], outs[n_dev])
 
 
-def test_wideband_multidevice_bitexact_fallback():
+@pytest.mark.parametrize("p", [3, 8])
+def test_wideband_multidevice_bitexact_fallback(p):
     """n=8 vs n=1 on the asserted-identical XLA fallback path: bit-exact
-    (covers the halo, the recomputed discriminator seed, and the
-    lane->channel reorder + all_to_all reshard)."""
+    (covers the halo, the ppermuted neighbor-computed discriminator seed,
+    and the lane->channel reorder + all_to_all reshard) — at the default
+    polyphase depth and an odd one (the seed recompute spans P+1 frames
+    of the local tail)."""
     m, n_dev = 16, 8
     block = m * n_dev * 16
     rng = np.random.default_rng(3)
@@ -270,7 +273,8 @@ def test_wideband_multidevice_bitexact_fallback():
     outs = {}
     for n in (1, n_dev):
         mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
-        step, init_carry, place = build_wideband_step(mesh, m, block)
+        step, init_carry, place = build_wideband_step(mesh, m, block,
+                                                      taps_per_branch=p)
         c = init_carry()
         got = []
         for i in range(2):
