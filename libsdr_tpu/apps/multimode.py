@@ -262,15 +262,14 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
     decoded: POCSAG message list / AX.25+APRS message list / RTTY text /
     PSK31 text, per the channel's mode."""
     import math
+
+    from libsdr_tpu.apps.scanner import pick_block
     m = n_channels
-    # Same sizing as scanner.pick_block (t_full a 16-multiple) but ALSO a
-    # multiple of the PSK31 decimator when that mode is mapped.
-    req = math.lcm(16, _t_quantum(fs, m, mode_map.values()))
-    t_full = ((int(fs // 2) if block is None else int(block)) // m
-              ) // req * req
-    if t_full <= 0:
-        raise SystemExit("block too small for the channel count")
-    block = m * t_full
+    # Scanner sizing (t_full a 16-multiple) + a multiple of the PSK31
+    # decimator when that mode is mapped.
+    block = pick_block(fs, m, block,
+                       quantum=math.lcm(16, _t_quantum(fs, m,
+                                                       mode_map.values())))
     step, init_carry, groups = build_bank(fs, block, m, mode_map)
     return _run_bank(stream_blocks(iq, block), step, init_carry(),
                      cplx.as_block, groups)

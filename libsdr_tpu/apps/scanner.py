@@ -37,9 +37,13 @@ def scanner_pipeline(fs: float, block: int, n_channels: int,
     return p
 
 
-def pick_block(fs: float, n_channels: int, block: int = None) -> int:
+def pick_block(fs: float, n_channels: int, block: int = None,
+               quantum: int = 16) -> int:
+    """~0.5 s of capture rounded down so the per-channel step count is a
+    ``quantum``-multiple (16 suits the bit-chain windows; the multimode
+    bank passes lcm(16, its PSK31 decimator))."""
     block = int(fs // 2) if block is None else int(block)
-    block -= block % (n_channels * 16)
+    block -= block % (n_channels * quantum)
     if block <= 0:
         raise SystemExit("block too small for the channel count")
     return block

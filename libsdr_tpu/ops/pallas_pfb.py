@@ -110,6 +110,10 @@ def _tt_for(m: int, f_total: int, p: int, itemsize: int,
         win = 2 * (tt + p + 16) * m * itemsize      # assembled windows
         u = 2 * tt * m * 4                          # stage-A input values
         outs = (1 if demod else 2) * 2 * tt * m * 4  # pipelined outputs
+        if demod:
+            # constant-index carry/seed out blocks (ylr/yli/y0r/y0i) +
+            # the (1, m) discriminator scratch planes
+            outs += 4 * 8 * m * 4 + 2 * m * 4
         if blocks + win + u + outs + 1_000_000 <= _VMEM_BUDGET:
             return tt
     return 0

@@ -51,14 +51,14 @@ def fm_local_kernel_ok(lead, f_total: int, m: int, p: int, dtype) -> bool:
                                                  demod=True))
 
 
-def fm_demod1(y, prev, gain: float, kernel: bool = True):
+def fm_demod1(y, prev, gain: float):
     """ONE discriminator output row per lane from (..., 1, M) ``y`` and
     ``prev`` — the EXACT elementwise op sequence of the Pallas kernel's
     demod epilogue (planar z products + ``_atan2_poly``,
     ops/pallas_pfb.py::_kernel_pfb), so a row patched with this matches the
     in-kernel value.  Used by the sharded wideband step to seed shard
-    boundaries with the left neighbor's kernel-exported y_last."""
-    assert kernel, "XLA-fallback boundaries are seeded in-call instead"
+    boundaries with the left neighbor's kernel-exported y_last (the XLA
+    fallback path instead seeds its boundaries IN-CALL)."""
     from libsdr_tpu.ops.pallas_fir_mxu import _atan2_poly
     zr = y.re * prev.re + y.im * prev.im
     zi = y.im * prev.re - y.re * prev.im

@@ -31,19 +31,21 @@ def make_mesh(n_channel: int = 0, n_time: int = 1,
     return Mesh(devs, ("ch", "time"))
 
 
+def _carry_spec(leaf, n_channels: int, axis: str) -> P:
+    """THE carry-placement rule, shared by the GSPMD and shard_map paths:
+    leaves whose leading dim is the channel dim shard on ``axis``;
+    everything else (scalars, NCO phasors, small tails) replicates."""
+    if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+            leaf.shape[0] == n_channels:
+        return P(axis, *([None] * (leaf.ndim - 1)))
+    return P()
+
+
 def _shard_carry(carry, mesh: Mesh, n_channels: int):
-    """Shard carry leaves whose leading dim is the channel dim over 'ch';
-    replicate everything else (scalars, NCO phasors, small tails)."""
-
-    def place(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
-                leaf.shape[0] == n_channels:
-            spec = P("ch", *([None] * (leaf.ndim - 1)))
-        else:
-            spec = P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map(place, carry)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, _carry_spec(leaf, n_channels, "ch"))),
+        carry)
 
 
 def shard_pipeline_step(pipeline: Pipeline, mesh: Mesh,
@@ -116,14 +118,9 @@ def shard_map_pipeline_step(pipeline: Pipeline, mesh: Mesh,
         raise ValueError(f"channels {n_ch} must divide the mesh axis "
                          f"{axis!r} size {n}")
 
-    def leaf_spec(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
-                leaf.shape[0] == n_ch:
-            return P(axis, *([None] * (leaf.ndim - 1)))
-        return P()
-
     carry0 = pipeline.init_carry()
-    carry_specs = jax.tree_util.tree_map(leaf_spec, carry0)
+    carry_specs = jax.tree_util.tree_map(
+        lambda leaf: _carry_spec(leaf, n_ch, axis), carry0)
     x_spec = P(axis, *([None] * len(in_spec.channels)))
     block_sharding = NamedSharding(mesh, x_spec)
 

@@ -257,7 +257,7 @@ def _wideband_body(carry, x_local, taps_np, taps, m: int, p: int, n: int,
         x_local, hist, prev, taps_np, taps, m, p, gain=gain)
     if n > 1 and kernel:
         seed = pass_right(y_last, axis)
-        row0 = fm_demod1(y_first, seed, gain, kernel=True)
+        row0 = fm_demod1(y_first, seed, gain)
         row0 = jnp.where(idx == 0, audio_lane[..., 0:1, :], row0)
         audio_lane = jax.lax.dynamic_update_slice_in_dim(
             audio_lane, row0, 0, axis=-2)
