@@ -116,6 +116,39 @@ def test_pfb_wideband_kernel_vs_xla_on_chip(rng):
     assert err < 5e-5, err
 
 
+def test_pfb_demod_first_last_exports_on_chip(rng):
+    """The demod kernel's y_first/y_last exports on REAL hardware: y_first
+    is written ONCE at grid step 0 into a constant-index out block and must
+    survive the remaining grid steps' writebacks (Mosaic revisiting
+    semantics — a pattern the interpret-mode tests cannot validate).  Both
+    exports are checked against the XLA channelizer; y_first additionally
+    must be bit-equal to the first audio row's implied input (the sharded
+    wideband step re-demodulates shard boundaries from these exports,
+    parallel/wideband.py)."""
+    from libsdr_tpu.ops.channelizer import fold_commutator, prototype_lowpass
+    from libsdr_tpu.ops.pallas_pfb import lane_of_channel, pfb_mxu
+    from libsdr_tpu.parallel.wideband import channelize_segment
+
+    m, p, f = 512, 8, 128
+    x = (rng.normal(size=f * m) + 1j * rng.normal(size=f * m)
+         ).astype(np.complex64)
+    hist = (rng.normal(size=(p, m)) + 1j * rng.normal(size=(p, m))
+            ).astype(np.complex64)
+    taps3 = fold_commutator(prototype_lowpass(m, p), m, p)
+    xb = cplx.as_block(x)
+    hb = cplx.as_block(hist)
+    ref = cplx.to_numpy(channelize_segment(xb, hb, jnp.asarray(taps3), m, p))
+    xf = Complex(xb.re.reshape(f, m), xb.im.reshape(f, m))
+    audio, y_last, y_first = pfb_mxu(xf, hb, taps3, m, demod=True)
+    jax.block_until_ready(audio)
+    lp = lane_of_channel(m)
+    scale = np.abs(ref).max()
+    err_l = np.abs(cplx.to_numpy(y_last)[0, lp] - ref[:, -1]).max() / scale
+    err_f = np.abs(cplx.to_numpy(y_first)[0, lp] - ref[:, 0]).max() / scale
+    assert err_l < 5e-5, err_l
+    assert err_f < 5e-5, err_f
+
+
 def test_matmul_fft_vs_numpy_on_chip(rng):
     from libsdr_tpu.ops.fft import fft
 
