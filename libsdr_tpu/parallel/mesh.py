@@ -10,7 +10,7 @@ overlap-save convolutions ride the ICI as collective-permutes).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -31,7 +31,7 @@ tests/test_parallel.py).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
