@@ -126,10 +126,11 @@ def test_pfb_demod_first_last_exports_on_chip(rng):
     wideband step re-demodulates shard boundaries from these exports,
     parallel/wideband.py)."""
     from libsdr_tpu.ops.channelizer import fold_commutator, prototype_lowpass
-    from libsdr_tpu.ops.pallas_pfb import lane_of_channel, pfb_mxu
+    from libsdr_tpu.ops.pallas_pfb import _tt_for, lane_of_channel, pfb_mxu
     from libsdr_tpu.parallel.wideband import channelize_segment
 
-    m, p, f = 512, 8, 128
+    m, p, f = 512, 8, 1024
+    assert f // _tt_for(m, f, p, 4, demod=True) >= 2  # multi-chunk grid
     x = (rng.normal(size=f * m) + 1j * rng.normal(size=f * m)
          ).astype(np.complex64)
     hist = (rng.normal(size=(p, m)) + 1j * rng.normal(size=(p, m))
