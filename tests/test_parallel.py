@@ -140,24 +140,37 @@ def test_shard_map_pipeline_keeps_kernels_bitexact(rng):
     x = (rng.normal(size=(n_ch, b)) + 1j * rng.normal(size=(n_ch, b))
          ).astype(np.complex64)
 
-    outs = {}
-    with kernel_mode("interpret"):
-        for n in (1, n_dev):
-            p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
-                                     out_rate=48e3, design="textbook"),
-                          FMDemod(), FMDeemph()])
-            p.bind(StreamSpec(np.complex64, fs, b, channels=(n_ch,)))
-            assert any(isinstance(s, FMBasebandFused) for s in p.stages)
-            mesh = Mesh(np.asarray(jax.devices()[:n]), ("ch",))
-            step, place, carry = shard_map_pipeline_step(p, mesh)
-            if n > 1:
-                jx = jax.make_jaxpr(
-                    lambda c, xx: step.__wrapped__(c, xx))(carry, place(x))
-                assert "pallas_call" in str(jx), \
-                    "kernel did not survive the shard_map trace"
-            _, y = step(carry, place(x))
-            outs[n] = np.asarray(y)
-    np.testing.assert_array_equal(outs[1], outs[n_dev])
+    from libsdr_tpu.ops import AGC, AMDemod
+
+    chains = {
+        "fm": lambda: [IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                  out_rate=48e3, design="textbook"),
+                       FMDemod(), FMDeemph()],
+        # different fused op + AGC carry leaves (per-channel IIR state)
+        "am": lambda: [IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                  out_rate=48e3, design="textbook"),
+                       AMDemod(), AGC(tau=0.03)],
+    }
+    for name, stages in chains.items():
+        outs = {}
+        with kernel_mode("interpret"):
+            for n in (1, n_dev):
+                p = Pipeline(stages())
+                p.bind(StreamSpec(np.complex64, fs, b, channels=(n_ch,)))
+                if name == "fm":
+                    assert any(isinstance(s, FMBasebandFused)
+                               for s in p.stages)
+                mesh = Mesh(np.asarray(jax.devices()[:n]), ("ch",))
+                step, place, carry = shard_map_pipeline_step(p, mesh)
+                if n > 1:
+                    jx = jax.make_jaxpr(
+                        lambda c, xx: step.__wrapped__(c, xx))(carry,
+                                                               place(x))
+                    assert "pallas_call" in str(jx), \
+                        f"{name}: kernel did not survive the shard_map trace"
+                _, y = step(carry, place(x))
+                outs[n] = np.asarray(y)
+        np.testing.assert_array_equal(outs[1], outs[n_dev], err_msg=name)
 
 
 def test_wideband_sharded_pipeline():
