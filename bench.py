@@ -58,8 +58,59 @@ def _arm_watchdog() -> None:
     t.start()
 
 
+def _probe_backend(timeout_s: float = 150.0, retries: int = 1) -> str | None:
+    """Check that the JAX backend can initialize AT ALL before committing to
+    the multi-minute bench.  The axon TPU tunnel fails in two modes a plain
+    bench can't survive: device init hangs forever (no Python timeout ever
+    fires) or dies deep inside the first dispatch.  Probe in a SUBPROCESS
+    (an in-process hung init is uninterruptible) with a hard timeout, retry
+    once on transients.  Returns None when healthy, else a diagnostic
+    string."""
+    import os
+    import subprocess
+    import sys
+
+    last = "unknown"
+    for attempt in range(retries + 1):
+        if attempt:
+            time.sleep(20.0)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.arange(8.0).sum()), "
+                 "jax.devices()[0].platform)"],
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+                capture_output=True, text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = (f"backend probe hung >{timeout_s:.0f}s "
+                    "(TPU tunnel wedged in device init)")
+            continue
+        if r.returncode == 0:
+            return None
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        last = "backend probe failed: " + (tail[-1] if tail else
+                                           f"rc={r.returncode}")
+    return last
+
+
 def main() -> None:
     _arm_watchdog()
+
+    import sys
+
+    err = _probe_backend()
+    if err is not None:
+        # One parseable line, fast, instead of a 30-frame traceback from
+        # deep inside the first convert_element_type.
+        print(json.dumps({
+            "metric": "complex Msamples/s/chip through FIR+FM chain",
+            "error": err,
+            "value": None,
+            "unit": "Msps",
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 

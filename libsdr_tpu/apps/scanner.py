@@ -122,10 +122,31 @@ def main(argv=None):
                          "straight into the PFB kernel — lossless for "
                          "8-bit sources, halves ingest+HBM traffic "
                          "(--raw uint8 sources only)")
+    ap.add_argument("--live",
+                    help="live u8 IQ wire instead of a file: tcp://host:port "
+                         "(rtl_tcp pull), tcp-listen://:port (push), "
+                         "udp://:port, fifo:///path — requires --rate")
+    ap.add_argument("--live-timeout", type=float, default=None,
+                    help="stop after this many seconds with no wire data")
     args = ap.parse_args(argv)
     sdrlog.set_level(args.log_level)
 
-    if args.bf16:
+    if args.live:
+        if not args.rate:
+            raise SystemExit("--live requires --rate")
+        from libsdr_tpu.io.live import LiveStats, stream_live_iq
+        fs = args.rate
+        block = pick_block(fs, args.channels)
+        stats = LiveStats()
+        found = scan_blocks(
+            stream_live_iq(args.live, block, stats=stats,
+                           timeout=args.live_timeout),
+            fs, args.channels, block, baud=args.baud)
+        print(f"live: {stats.bytes_in} bytes in, "
+              f"{stats.bytes_dropped} dropped "
+              f"({100 * stats.drop_fraction:.2f}%), "
+              f"{stats.sustained_msps():.2f} Msps sustained")
+    elif args.bf16:
         if not args.raw or np.dtype(args.raw_dtype) != np.uint8:
             raise SystemExit("--bf16 needs a --raw uint8 (rtl_sdr wire) "
                              "source")

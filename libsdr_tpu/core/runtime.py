@@ -152,17 +152,49 @@ def reblock(blocks: Iterable[np.ndarray], out_size: int) -> Iterator[np.ndarray]
 
 
 class Throughput:
-    """Simple throughput meter for the host driver (the observability the
-    reference lacks; SURVEY.md section 5)."""
+    """Throughput + drop meter for the host driver (the observability the
+    reference's overflow printouts gesture at — src/portaudio.cc:129-155,
+    src/firfilter.hh:219-226 — made a real counter; SURVEY.md section 5).
+
+    ``add`` counts samples processed; ``add_dropped`` counts samples a live
+    source discarded because the pipeline fell behind the wire
+    (back-pressure-by-drop).  ``sustained_msps`` is the delivered rate —
+    the realtime design-point metric: a healthy live deployment shows
+    ``drop_fraction == 0`` and ``sustained_msps`` >= the wire rate."""
 
     def __init__(self) -> None:
         self.samples = 0
+        self.dropped = 0
         self.t0 = time.perf_counter()
 
     def add(self, n: int) -> None:
         self.samples += n
 
+    def add_dropped(self, n: int) -> None:
+        self.dropped += n
+
+    def update_from(self, stats) -> None:
+        """Absorb a live source's :class:`libsdr_tpu.io.live.LiveStats`
+        (drops are totals there, not increments)."""
+        self.dropped = stats.bytes_dropped // 2  # u8 IQ frames -> samples
+
     @property
     def msps(self) -> float:
         dt = time.perf_counter() - self.t0
         return self.samples / dt / 1e6 if dt > 0 else float("inf")
+
+    @property
+    def sustained_msps(self) -> float:
+        """Delivered (non-dropped) complex Msamples/s since construction."""
+        dt = time.perf_counter() - self.t0
+        return self.samples / dt / 1e6 if dt > 0 else 0.0
+
+    @property
+    def drop_fraction(self) -> float:
+        total = self.samples + self.dropped
+        return self.dropped / total if total else 0.0
+
+    def report(self) -> str:
+        return (f"{self.sustained_msps:.2f} Msps sustained, "
+                f"{self.dropped} samples dropped "
+                f"({100 * self.drop_fraction:.2f}%)")

@@ -67,6 +67,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pump_start.argtypes = [ctypes.c_char_p, c_p, c_i64]
     lib.pump_start.restype = c_p
     lib.pump_stop.argtypes = [c_p]
+    c_int = ctypes.c_int
+    lib.live_pump_tcp_connect.argtypes = [ctypes.c_char_p, c_int, c_p,
+                                          c_i64, c_i64, c_int]
+    lib.live_pump_tcp_connect.restype = c_p
+    lib.live_pump_tcp_listen.argtypes = [c_int, c_p, c_i64, c_i64]
+    lib.live_pump_tcp_listen.restype = c_p
+    lib.live_pump_udp.argtypes = [c_int, c_p, c_i64, c_i64]
+    lib.live_pump_udp.restype = c_p
+    lib.live_pump_fifo.argtypes = [ctypes.c_char_p, c_p, c_i64, c_i64]
+    lib.live_pump_fifo.restype = c_p
+    lib.live_pump_port.argtypes = [c_p]
+    lib.live_pump_port.restype = c_int
+    lib.live_pump_bytes_in.argtypes = [c_p]
+    lib.live_pump_bytes_in.restype = c_i64
+    lib.live_pump_bytes_dropped.argtypes = [c_p]
+    lib.live_pump_bytes_dropped.restype = c_i64
+    lib.live_pump_stop.argtypes = [c_p, ctypes.POINTER(c_i64),
+                                   ctypes.POINTER(c_i64)]
     lib.pocsag_decode.argtypes = [c_p, c_i64, c_p, c_p, c_i64, c_i64]
     lib.pocsag_decode.restype = c_i64
     lib.ax25_decode.argtypes = [c_p, c_i64, c_p, c_p, c_i64, c_i64]
@@ -249,3 +267,247 @@ class FilePump:
             self._stop = True
             self._thread.join()
             self._thread = None
+
+
+class LivePump:
+    """Live-wire ingest thread (TCP/UDP/FIFO) feeding a RingBuffer, with
+    the reference's back-pressure-by-drop contract: a full ring DISCARDS the
+    overflow in whole sample frames and counts it (reference:
+    src/firfilter.hh:219-226, src/rtlsource.cc:133-145).  Native
+    std::thread + poll() when the C++ library is available, Python
+    socket thread otherwise.
+
+    Construct via the classmethods: :meth:`tcp_connect` (the rtl_tcp
+    topology — server owns the radio, we pull), :meth:`tcp_listen`
+    (raw-wire push), :meth:`udp`, :meth:`fifo`.
+
+    ``frame`` is the drop granularity in bytes (2 for u8 IQ, 4 for s16 IQ)
+    so interleaved-IQ alignment never shifts across a drop.
+    """
+
+    def __init__(self):
+        self.ring: Optional[RingBuffer] = None
+        self._lib = None
+        self._h = None
+        self._thread = None
+        self._stop = False
+        self._frame = 1
+        self._bytes_in = 0
+        self._bytes_dropped = 0
+        self._sock = None
+        self._listen_sock = None
+        self._fifo_fd = None
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def tcp_connect(cls, host: str, port: int, ring: RingBuffer,
+                    chunk: int = 1 << 18, frame: int = 2,
+                    timeout_ms: int = 5000) -> "LivePump":
+        p = cls()
+        p.ring, p._frame = ring, frame
+        lib = get_lib()
+        if lib is not None and ring._lib is not None:
+            p._lib = lib
+            p._h = lib.live_pump_tcp_connect(host.encode(), port, ring._h,
+                                             chunk, frame, timeout_ms)
+            if not p._h:
+                raise ConnectionError(f"live tcp connect {host}:{port}")
+            return p
+        import socket
+        s = socket.create_connection((host, port), timeout=timeout_ms / 1e3)
+        s.settimeout(0.1)
+        p._sock = s
+        p._start_py(lambda buf: p._recv_stream(s, buf), chunk)
+        return p
+
+    @classmethod
+    def tcp_listen(cls, port: int, ring: RingBuffer, chunk: int = 1 << 18,
+                   frame: int = 2) -> "LivePump":
+        p = cls()
+        p.ring, p._frame = ring, frame
+        lib = get_lib()
+        if lib is not None and ring._lib is not None:
+            p._lib = lib
+            p._h = lib.live_pump_tcp_listen(port, ring._h, chunk, frame)
+            if not p._h:
+                raise OSError(f"live tcp listen :{port}")
+            return p
+        import socket
+        ls = socket.socket()
+        ls.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        ls.bind(("", port))
+        ls.listen(1)
+        ls.settimeout(0.1)
+        p._listen_sock = ls
+
+        def read(buf):
+            if p._sock is None:
+                try:
+                    c, _ = ls.accept()
+                except TimeoutError:
+                    return -2  # keep waiting
+                c.settimeout(0.1)
+                p._sock = c
+            return p._recv_stream(p._sock, buf)
+
+        p._start_py(read, chunk)
+        return p
+
+    @classmethod
+    def udp(cls, port: int, ring: RingBuffer, chunk: int = 1 << 18,
+            frame: int = 2) -> "LivePump":
+        p = cls()
+        p.ring, p._frame = ring, frame
+        lib = get_lib()
+        if lib is not None and ring._lib is not None:
+            p._lib = lib
+            p._h = lib.live_pump_udp(port, ring._h, chunk, frame)
+            if not p._h:
+                raise OSError(f"live udp bind :{port}")
+            return p
+        import socket
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("", port))
+        s.settimeout(0.1)
+        p._sock = s
+
+        def read(buf):
+            try:
+                n = s.recv_into(buf)
+            except TimeoutError:
+                return -2
+            return n if n > 0 else -2  # UDP never signals EOS
+        p._start_py(read, chunk)
+        return p
+
+    @classmethod
+    def fifo(cls, path: str, ring: RingBuffer, chunk: int = 1 << 18,
+             frame: int = 2) -> "LivePump":
+        p = cls()
+        p.ring, p._frame = ring, frame
+        lib = get_lib()
+        if lib is not None and ring._lib is not None:
+            p._lib = lib
+            p._h = lib.live_pump_fifo(path.encode(), ring._h, chunk, frame)
+            if not p._h:
+                raise FileNotFoundError(path)
+            return p
+        fd = os.open(path, os.O_RDONLY | os.O_NONBLOCK)
+        p._fifo_fd = fd
+        seen = [False]
+
+        def read(buf):
+            import time as _t
+            try:
+                data = os.read(fd, len(buf))
+            except BlockingIOError:
+                _t.sleep(0.01)
+                return -2
+            if not data:
+                if seen[0]:
+                    return 0  # writer closed after data: EOS
+                _t.sleep(0.01)
+                return -2
+            seen[0] = True
+            buf[:len(data)] = data
+            return len(data)
+        p._start_py(read, chunk)
+        return p
+
+    # -- python-fallback machinery ------------------------------------------
+
+    def _recv_stream(self, sock, buf) -> int:
+        try:
+            n = sock.recv_into(buf)
+        except TimeoutError:
+            return -2
+        except OSError:
+            return 0
+        return n  # 0 = peer closed = EOS
+
+    def _start_py(self, read_fn, chunk: int) -> None:
+        import threading
+
+        def run():
+            buf = bytearray(chunk + self._frame)
+            mv = memoryview(buf)
+            rem = 0
+            while not self._stop:
+                got = read_fn(mv[rem:rem + chunk])
+                if got == -2:
+                    continue
+                if got == 0:
+                    break
+                have = rem + got
+                whole = (have // self._frame) * self._frame
+                if whole:
+                    self._py_put(mv[:whole])
+                rem = have - whole
+                if rem:
+                    mv[:rem] = mv[whole:have]
+            self.ring.set_eos()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def _py_put(self, mv) -> None:
+        n = len(mv)
+        self._bytes_in += n
+        data = np.frombuffer(mv, np.uint8)
+        space = self.capacity_space()
+        fit = n if n <= space else (space // self._frame) * self._frame
+        if fit > 0:
+            self.ring.put(data[:fit])
+        if fit < n:
+            self._bytes_dropped += n - fit
+
+    def capacity_space(self) -> int:
+        return self.ring.capacity - self.ring.available
+
+    # -- common API ----------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        """Bound port (listen/udp modes; resolves port=0 ephemeral binds)."""
+        if self._h is not None:
+            return int(self._lib.live_pump_port(self._h))
+        s = self._listen_sock or self._sock
+        return s.getsockname()[1] if s is not None else -1
+
+    @property
+    def bytes_in(self) -> int:
+        if self._h is not None:
+            return int(self._lib.live_pump_bytes_in(self._h))
+        return self._bytes_in
+
+    @property
+    def bytes_dropped(self) -> int:
+        """Overflow discarded because the ring was full — the reference's
+        accounted-drop contract (src/portaudio.cc:129-155)."""
+        if self._h is not None:
+            return int(self._lib.live_pump_bytes_dropped(self._h))
+        return self._bytes_dropped
+
+    def stop(self) -> None:
+        if self._h is not None:
+            # The native stop joins the thread, then hands back the FINAL
+            # counters so bytes_in / bytes_dropped stay readable (and
+            # include the trailing put) after the pump is freed.
+            fin = ctypes.c_int64(0)
+            fdr = ctypes.c_int64(0)
+            h, self._h = self._h, None
+            self._lib.live_pump_stop(h, ctypes.byref(fin), ctypes.byref(fdr))
+            self._bytes_in = int(fin.value)
+            self._bytes_dropped = int(fdr.value)
+        elif self._thread is not None:
+            self._stop = True
+            self._thread.join()
+            self._thread = None
+            for s in (self._sock, self._listen_sock):
+                if s is not None:
+                    s.close()
+            if self._fifo_fd is not None:
+                os.close(self._fifo_fd)
+                self._fifo_fd = None

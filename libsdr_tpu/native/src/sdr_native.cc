@@ -206,6 +206,240 @@ void pump_stop(Pump *p) {
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Live pump: socket/FIFO ingest threads feeding the same SPSC ring — the
+// production TPU analog of the reference's *live* driver-thread sources
+// (reference: src/rtlsource.cc:133-145 rtl_sdr async callback thread,
+// src/portaudio.cc:129-155 PortAudio callback).  Live sources cannot block
+// the wire, so a full ring DISCARDS the overflow and accounts it — the
+// reference's back-pressure-by-drop contract (reference:
+// src/firfilter.hh:219-226 "RX buffer overflow", src/portaudio.cc drop
+// accounting).  Drops happen only in whole sample frames so the
+// interleaved-IQ alignment downstream never shifts.
+// ---------------------------------------------------------------------------
+
+#include <arpa/inet.h>
+#include <errno.h>
+#include <fcntl.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+extern "C" {
+
+struct LivePump {
+  Ring *ring;
+  int fd;                 // data fd (socket or fifo), -1 until connected
+  int listen_fd;          // tcp-listen mode only, else -1
+  int is_udp;
+  int is_fifo;
+  int64_t chunk;
+  int64_t frame;          // drop granularity in bytes (e.g. 2 for u8 IQ)
+  std::atomic<int64_t> bytes_in;       // everything read off the wire
+  std::atomic<int64_t> bytes_dropped;  // overflow discarded (ring full)
+  std::atomic<int> stop;
+  std::thread thread;
+};
+
+// Frame-aligned put-or-drop: insert the largest frame multiple that fits,
+// discard (and count) the rest.  `n` is always a frame multiple (the reader
+// carries any sub-frame remainder between reads), so alignment is global.
+static void live_put(LivePump *p, const uint8_t *buf, int64_t n) {
+  p->bytes_in.fetch_add(n, std::memory_order_relaxed);
+  int64_t space = ring_space(p->ring);
+  int64_t fit = (n <= space) ? n : (space / p->frame) * p->frame;
+  if (fit > 0) ring_put(p->ring, buf, fit);
+  if (fit < n)
+    p->bytes_dropped.fetch_add(n - fit, std::memory_order_relaxed);
+}
+
+static void live_pump_main(LivePump *p) {
+  uint8_t *buf = (uint8_t *)malloc(p->chunk + p->frame);
+  int64_t rem = 0;  // sub-frame remainder carried between reads
+  bool seen_data = false;
+  while (!p->stop.load(std::memory_order_relaxed)) {
+    if (p->fd < 0) {  // tcp-listen: wait for the one client
+      struct pollfd pf = {p->listen_fd, POLLIN, 0};
+      if (poll(&pf, 1, 100) <= 0) continue;
+      int c = accept(p->listen_fd, nullptr, nullptr);
+      if (c < 0) continue;
+      p->fd = c;
+    }
+    struct pollfd pf = {p->fd, POLLIN, 0};
+    int pr = poll(&pf, 1, 100);
+    if (pr < 0) break;
+    if (pr == 0) continue;
+    ssize_t got;
+    if (p->is_udp) {
+      got = recv(p->fd, buf + rem, (size_t)p->chunk, 0);
+      if (got < 0) continue;           // transient (e.g. ECONNREFUSED tick)
+      if (got == 0) continue;          // empty datagram
+    } else {
+      got = read(p->fd, buf + rem, (size_t)p->chunk);
+      if (got < 0) {
+        if (errno == EAGAIN || errno == EINTR) continue;
+        break;                          // hard error: end of stream
+      }
+      if (got == 0) {
+        // TCP: peer closed.  FIFO opened O_NONBLOCK reads EOF while no
+        // writer exists yet — only treat it as end after data flowed.
+        if (!p->is_fifo || seen_data) break;
+        struct timespec ts = {0, 10 * 1000 * 1000};
+        nanosleep(&ts, nullptr);
+        continue;
+      }
+    }
+    seen_data = true;
+    int64_t have = rem + (int64_t)got;
+    int64_t whole = (have / p->frame) * p->frame;
+    if (whole > 0) live_put(p, buf, whole);
+    rem = have - whole;
+    if (rem > 0) memmove(buf, buf + whole, (size_t)rem);
+  }
+  if (rem > 0) live_put(p, buf, rem);  // trailing partial frame (stream cut)
+  ring_set_eos(p->ring);
+  free(buf);
+}
+
+static LivePump *live_pump_new(Ring *ring, int64_t chunk, int64_t frame) {
+  LivePump *p = new LivePump();
+  p->ring = ring;
+  p->fd = -1;
+  p->listen_fd = -1;
+  p->is_udp = 0;
+  p->is_fifo = 0;
+  p->chunk = chunk > 0 ? chunk : (1 << 18);
+  p->frame = frame > 0 ? frame : 1;
+  p->bytes_in.store(0);
+  p->bytes_dropped.store(0);
+  p->stop.store(0);
+  return p;
+}
+
+// TCP client (the rtl_tcp topology: the SDR host runs the server, we
+// connect and read the sample stream).  Blocks up to timeout_ms for the
+// connect.  Returns nullptr on failure.
+LivePump *live_pump_tcp_connect(const char *host, int port, Ring *ring,
+                                int64_t chunk, int64_t frame,
+                                int timeout_ms) {
+  int fd = socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) return nullptr;
+  struct sockaddr_in a;
+  memset(&a, 0, sizeof(a));
+  a.sin_family = AF_INET;
+  a.sin_port = htons((uint16_t)port);
+  if (inet_pton(AF_INET, host, &a.sin_addr) != 1) { close(fd); return nullptr; }
+  fcntl(fd, F_SETFL, O_NONBLOCK);
+  int rc = connect(fd, (struct sockaddr *)&a, sizeof(a));
+  if (rc < 0 && errno == EINPROGRESS) {
+    struct pollfd pf = {fd, POLLOUT, 0};
+    if (poll(&pf, 1, timeout_ms > 0 ? timeout_ms : 5000) <= 0) {
+      close(fd);
+      return nullptr;
+    }
+    int err = 0; socklen_t len = sizeof(err);
+    getsockopt(fd, SOL_SOCKET, SO_ERROR, &err, &len);
+    if (err != 0) { close(fd); return nullptr; }
+  } else if (rc < 0) {
+    close(fd);
+    return nullptr;
+  }
+  LivePump *p = live_pump_new(ring, chunk, frame);
+  p->fd = fd;
+  p->thread = std::thread(live_pump_main, p);
+  return p;
+}
+
+// TCP server accepting ONE client (raw-wire push topology).  port 0 picks
+// an ephemeral port; read it back with live_pump_port().
+LivePump *live_pump_tcp_listen(int port, Ring *ring, int64_t chunk,
+                               int64_t frame) {
+  int fd = socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) return nullptr;
+  int one = 1;
+  setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  struct sockaddr_in a;
+  memset(&a, 0, sizeof(a));
+  a.sin_family = AF_INET;
+  a.sin_addr.s_addr = htonl(INADDR_ANY);
+  a.sin_port = htons((uint16_t)port);
+  if (bind(fd, (struct sockaddr *)&a, sizeof(a)) < 0 || listen(fd, 1) < 0) {
+    close(fd);
+    return nullptr;
+  }
+  LivePump *p = live_pump_new(ring, chunk, frame);
+  p->listen_fd = fd;
+  p->thread = std::thread(live_pump_main, p);
+  return p;
+}
+
+// UDP datagram sink (one datagram = one wire chunk; a full ring drops the
+// frame-aligned tail exactly like the other modes).
+LivePump *live_pump_udp(int port, Ring *ring, int64_t chunk, int64_t frame) {
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return nullptr;
+  int one = 1;
+  setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  int rcvbuf = 4 << 20;  // absorb wire bursts before the ring even sees them
+  setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  struct sockaddr_in a;
+  memset(&a, 0, sizeof(a));
+  a.sin_family = AF_INET;
+  a.sin_addr.s_addr = htonl(INADDR_ANY);
+  a.sin_port = htons((uint16_t)port);
+  if (bind(fd, (struct sockaddr *)&a, sizeof(a)) < 0) { close(fd); return nullptr; }
+  LivePump *p = live_pump_new(ring, chunk, frame);
+  p->fd = fd;
+  p->is_udp = 1;
+  p->thread = std::thread(live_pump_main, p);
+  return p;
+}
+
+// Named pipe / FIFO reader (local live wire with no network stack).
+LivePump *live_pump_fifo(const char *path, Ring *ring, int64_t chunk,
+                         int64_t frame) {
+  int fd = open(path, O_RDONLY | O_NONBLOCK);
+  if (fd < 0) return nullptr;
+  LivePump *p = live_pump_new(ring, chunk, frame);
+  p->fd = fd;
+  p->is_fifo = 1;
+  p->thread = std::thread(live_pump_main, p);
+  return p;
+}
+
+int live_pump_port(LivePump *p) {  // bound port (listen/udp modes)
+  int fd = p->listen_fd >= 0 ? p->listen_fd : p->fd;
+  struct sockaddr_in a;
+  socklen_t len = sizeof(a);
+  if (getsockname(fd, (struct sockaddr *)&a, &len) < 0) return -1;
+  return (int)ntohs(a.sin_port);
+}
+
+int64_t live_pump_bytes_in(LivePump *p) {
+  return p->bytes_in.load(std::memory_order_relaxed);
+}
+
+int64_t live_pump_bytes_dropped(LivePump *p) {
+  return p->bytes_dropped.load(std::memory_order_relaxed);
+}
+
+// Joins the ingest thread, then (optionally) reports the FINAL counters —
+// reading them after the join means the trailing put is included.
+void live_pump_stop(LivePump *p, int64_t *final_in, int64_t *final_dropped) {
+  if (!p) return;
+  p->stop.store(1);
+  p->thread.join();
+  if (final_in) *final_in = p->bytes_in.load();
+  if (final_dropped) *final_dropped = p->bytes_dropped.load();
+  if (p->fd >= 0) close(p->fd);
+  if (p->listen_fd >= 0) close(p->listen_fd);
+  delete p;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // POCSAG batch decoder (the host FSM of decode/pocsag.py, in C++: at fleet
 // scale — hundreds of channels — the Python per-bit loop dominates the whole
 // receive bank; this runs the identical WAIT -> RECEIVE -> CHECK_CONTINUE

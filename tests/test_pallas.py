@@ -1,58 +1,12 @@
 """Pallas FIR kernel tests (interpret mode so they run on the CPU test
-mesh; the real-TPU numeric check + benchmark are documented in
-libsdr_tpu/ops/pallas_fir.py)."""
+mesh; the real-TPU numeric checks + benchmarks run via tools/tpu_check.py)."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from libsdr_tpu.core import cplx
-from libsdr_tpu.ops import firdesign
-from libsdr_tpu.ops.baseband import fused_baseband_taps
 from libsdr_tpu.ops.fir import fir_overlap_save
-from libsdr_tpu.ops.pallas_fir import fir_decim_pallas, pallas_available
-
-
-def test_pallas_fir_matches_conv(rng):
-    C, B, D = 16, 8192, 4
-    k = firdesign.ref_complex_bandpass(64, 12000, 9000, 96000)
-    g = fused_baseband_taps(k, 12000, 96000, D)
-    x = (rng.normal(size=(C, B)) + 1j * rng.normal(size=(C, B))
-         ).astype(np.complex64)
-    xb = cplx.as_block(x)
-    tail = cplx.zeros((C, len(g) - 1))
-    y_ref, t_ref = fir_overlap_save(g, xb, tail, stride=D, offset=D - 1)
-    y_pal, t_pal = fir_decim_pallas(g, xb, tail, D, interpret=True)
-    ref = cplx.to_numpy(y_ref)
-    pal = cplx.to_numpy(y_pal)
-    assert np.abs(ref - pal).max() / np.abs(ref).max() < 1e-5
-    np.testing.assert_allclose(cplx.to_numpy(t_ref), cplx.to_numpy(t_pal))
-
-
-def test_pallas_fir_streaming_carry(rng):
-    """Carried-tail streaming across blocks matches the conv path."""
-    C, B, D = 8, 4096, 2
-    g = firdesign.complex_bandpass(33, 5000, 4000, 48000)
-    g = fused_baseband_taps(g, 5000, 48000, D)
-    x = (rng.normal(size=(C, 3 * B)) + 1j * rng.normal(size=(C, 3 * B))
-         ).astype(np.complex64)
-    tail_a = cplx.zeros((C, len(g) - 1))
-    tail_b = cplx.zeros((C, len(g) - 1))
-    outs_a, outs_b = [], []
-    for i in range(3):
-        blk = cplx.as_block(x[:, i * B:(i + 1) * B])
-        ya, tail_a = fir_overlap_save(g, blk, tail_a, stride=D, offset=D - 1)
-        yb, tail_b = fir_decim_pallas(g, blk, tail_b, D, interpret=True)
-        outs_a.append(cplx.to_numpy(ya))
-        outs_b.append(cplx.to_numpy(yb))
-    a = np.concatenate(outs_a, -1)
-    b = np.concatenate(outs_b, -1)
-    assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
-
-
-def test_pallas_availability_gate():
-    assert pallas_available(16, 8192, 4)
-    assert not pallas_available(16, 8192, 0)
 
 
 def test_pallas_mxu_fir_matches_oracle(rng):
