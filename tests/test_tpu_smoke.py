@@ -530,3 +530,90 @@ def test_fsk_sliding_sum_matmul_on_chip(rng):
         disc = np.abs(sums(tm * x)) ** 2 - np.abs(sums(ts * x)) ** 2
         want = (disc > 0).astype(np.uint8)
         assert (got == want).mean() > 0.995, baud
+
+
+def test_mosaic_tiling_bit_identity_on_chip():
+    """Compiled-Mosaic determinism across shard tilings — the 1-chip slice
+    of the multi-chip bit-identity claim (PARITY.md 2.9): the SAME data
+    through the fused FM kernel as (a) one 128-channel bank vs two
+    64-channel groups (how shard_map_pipeline_step partitions a channel-
+    sharded bank) and (b) one full block vs two carried half blocks (how
+    time sharding sizes the per-device blocks).  Channel-group retiling
+    must be BIT-identical (same program, same per-row framing).  Block
+    retiling legitimately reframes the boundary windows (different
+    summation order), so it is held to a measured <=4-ulp bound — even
+    the CPU/XLA path shows last-ulp there (2.4e-7 relative); the measured
+    numbers are what PARITY.md 2.9 cites."""
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.ops import FMDeemph, FMDemod, IQBaseBand, siggen
+
+    fs, block = 960_000.0, 1 << 17
+    audio = siggen.sine(fs, block + 4096, 777.0, amps=0.6)
+    iq = siggen.fm_modulate(fs, audio, deviation=75_000.0,
+                            carrier=120_000.0)[:block]
+    # distinct per-channel content (a tiled bank could mask a row swap)
+    scales = (0.25 + 0.75 * np.arange(128) / 128).astype(np.complex64)
+    x = np.tile(iq[None, :], (128, 1)) * scales[:, None]
+    xb = cplx.as_block(x)
+
+    def build(n_ch, blk):
+        p = Pipeline([IQBaseBand(fc=120_000, width=200_000, order=64,
+                                 decim=4, design="textbook"),
+                      FMDemod(), FMDeemph()])
+        p.bind(StreamSpec(np.complex64, fs, blk, channels=(n_ch,)))
+        return p
+
+    # (a) channel-group tiling: 128-bank vs two 64-groups
+    p128, p64 = build(128, block), build(64, block)
+    _, y128 = p128.apply(p128.init_carry(), xb)
+    _, ya = p64.apply(p64.init_carry(), cplx.as_block(x[:64]))
+    _, yb = p64.apply(p64.init_carry(), cplx.as_block(x[64:]))
+    full = np.asarray(y128)
+    groups = np.concatenate([np.asarray(ya), np.asarray(yb)], axis=0)
+    assert full.dtype == groups.dtype
+    np.testing.assert_array_equal(
+        full, groups,
+        err_msg="ct=128 vs 2x ct=64 channel-group tilings differ")
+
+    # (b) block tiling: full block vs two carried half blocks — measured
+    # ulp bound (boundary windows reframe; summation order changes)
+    def ulp_check(a, b, what):
+        tol = 4 * np.spacing(np.maximum(np.abs(a), np.abs(b)))
+        worst = (np.abs(a - b) / np.maximum(np.spacing(np.abs(a)), 1e-45)
+                 ).max()
+        assert np.all(np.abs(a - b) <= tol), (
+            f"{what}: {worst:.1f} ulp worst-case exceeds the 4-ulp bound")
+        print(f"{what}: bit-identical={np.array_equal(a, b)}, "
+              f"worst={worst:.2f} ulp")
+
+    ph = build(128, block // 2)
+    c = ph.init_carry()
+    halves = []
+    for i in range(2):
+        c, yh = ph.apply(c, cplx.as_block(x[:, i * block // 2:
+                                            (i + 1) * block // 2]))
+        halves.append(np.asarray(yh))
+    ulp_check(full, np.concatenate(halves, axis=-1),
+              "fm full-block vs shard-sized half blocks")
+
+    # (c) PFB channelizer kernel: full block vs carried half blocks
+    from libsdr_tpu.ops.channelizer import Channelizer
+
+    m, cb = 128, 1 << 17
+    wide = (iq[:cb] * np.exp(2j * np.pi * 0.17 * np.arange(cb))
+            ).astype(np.complex64)
+    wb = cplx.as_block(wide)
+    cz_f = Channelizer(m, taps_per_branch=8)
+    cz_f.bind(StreamSpec(np.complex64, fs, cb))
+    _, yf = cz_f.apply(cz_f.init_carry(), wb)
+    cz_h = Channelizer(m, taps_per_branch=8)
+    cz_h.bind(StreamSpec(np.complex64, fs, cb // 2))
+    ch_ = cz_h.init_carry()
+    hs = []
+    for i in range(2):
+        ch_, yh = cz_h.apply(
+            ch_, cplx.as_block(wide[i * cb // 2:(i + 1) * cb // 2]))
+        hs.append(cplx.to_numpy(yh))
+    af, bf = cplx.to_numpy(yf), np.concatenate(hs, axis=-1)
+    ulp_check(af.real, bf.real, "pfb full vs shard-sized blocks (re)")
+    ulp_check(af.imag, bf.imag, "pfb full vs shard-sized blocks (im)")

@@ -11,8 +11,21 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def write_artifact(prefix: str, payload: dict) -> str:
-    rnd = os.environ.get("LIBSDR_ROUND", "03")
+    rnd = os.environ.get("LIBSDR_ROUND", "04")
     path = os.path.join(ROOT, f"{prefix}_r{rnd}.json")
+    try:
+        import jax
+        payload = dict(payload, platform=jax.default_backend())
+    except Exception:
+        pass
+    if payload.get("platform") == "cpu" and not os.environ.get(
+            "LIBSDR_ALLOW_CPU_ARTIFACT"):
+        # A CPU sanity run must never clobber a hardware artifact (the r3
+        # 196-vs-2600 decoder-bank contradiction came from exactly this
+        # class of capture mixup).
+        print(f"[artifact] skipping {path}: CPU backend "
+              "(set LIBSDR_ALLOW_CPU_ARTIFACT=1 to force)")
+        return path
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

@@ -2,7 +2,7 @@
 # One-shot hardware sweep: smoke suite + every bench, each in a FRESH
 # process (the axon plugin pins the backend at first jax touch), each under
 # a timeout so a wedged tunnel cannot hang the sweep.  Artifacts land as
-# *_r${LIBSDR_ROUND:-03}.json next to the driver's BENCH_r*.json.
+# *_r${LIBSDR_ROUND:-04}.json next to the driver's BENCH_r*.json.
 #
 # Usage: bash tools/bench_all.sh [quick]
 #   quick: skip the ~6 min smoke suite, run benches only.
@@ -43,4 +43,4 @@ run 600 scanner_prof  $PY tools/profile_scanner.py
 run 600 ax25_prof     $PY tools/profile_ax25.py
 run 600 multimode_prof $PY tools/profile_multimode.py
 echo "sweep done; artifacts:"
-ls -la *_r"${LIBSDR_ROUND:-03}".json 2>/dev/null
+ls -la *_r"${LIBSDR_ROUND:-04}".json 2>/dev/null

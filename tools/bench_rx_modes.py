@@ -98,39 +98,45 @@ def main() -> None:
             out["am_unfused_msps"] = round(n_ch * block / t2 / 1e6, 1)
 
     # AX.25/AFSK chain (examples/sdr_ax25.cc): baseband -> FM -> FSK
-    # correlators -> bit-sync PLL, at the reference's audio rates.
+    # correlators -> bit-sync PLL, at the reference's audio rates.  Run
+    # fused (the fusion pass installs AFSKFrontendFused; >=64 channels on
+    # the TPU takes the single-MXU-pass Pallas kernel,
+    # ops/pallas_fir_mxu.fir_afsk_exact) AND unfused (fusion disabled: the
+    # stage pipeline's overlap-save FIR + XLA demod/correlators), so the
+    # artifact records the fused front end's measured delta.
     fs2 = 192_000.0
+
+    def afsk_bank(n, blk, fused):
+        xa = cplx.Complex(jax.random.normal(key, (n, blk), np.float32),
+                          jax.random.normal(jax.random.PRNGKey(n % 97),
+                                            (n, blk), np.float32))
+        p = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
+                                 out_rate=48e3, design="textbook"),
+                      FMDemod(),
+                      FSKDetector(1200.0, 1200.0, 2200.0),
+                      BitStream(1200.0, mode="transition")])
+        orig = fuse.fuse_stages
+        if not fused:
+            fuse.fuse_stages = lambda s: s
+        try:
+            p.bind(StreamSpec(np.complex64, fs2, blk, channels=(n,)))
+        finally:
+            fuse.fuse_stages = orig
+        t = bench(p.compile(), p.init_carry(), xa)
+        return round(n * blk / t / 1e6, 1)
+
     blk2 = 1 << 21
-    x2 = cplx.Complex(jax.random.normal(key, (n_ch, blk2), np.float32),
-                      jax.random.normal(jax.random.PRNGKey(2),
-                                        (n_ch, blk2), np.float32))
-    ax = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48, out_rate=48e3,
-                              design="textbook"),
-                   FMDemod(),
-                   FSKDetector(1200.0, 1200.0, 2200.0),
-                   BitStream(1200.0, mode="transition")])
-    ax.bind(StreamSpec(np.complex64, fs2, blk2, channels=(n_ch,)))
-    t = bench(ax.compile(), ax.init_carry(), x2)
-    out["ax25_chain_msps"] = round(n_ch * blk2 / t / 1e6, 1)
+    out["ax25_chain_msps"] = afsk_bank(n_ch, blk2, fused=True)
+    out["ax25_unfused_msps"] = afsk_bank(n_ch, blk2, fused=False)
 
     # wide bank: same total samples/step as above but 4x the channels on
     # 1/4 the block — the bit-sync PLL's sequential scan runs per TIME
     # step across all channel lanes at once (VPU), so the wider/shorter
     # layout shortens the scan 4x at equal work.
     n_wide = 4 * n_ch
-    blk_w = blk2 // 4
-    xw = cplx.Complex(jax.random.normal(key, (n_wide, blk_w), np.float32),
-                      jax.random.normal(jax.random.PRNGKey(3),
-                                        (n_wide, blk_w), np.float32))
-    ax2 = Pipeline([IQBaseBand(fc=24e3, width=12.5e3, order=48,
-                               out_rate=48e3, design="textbook"),
-                    FMDemod(),
-                    FSKDetector(1200.0, 1200.0, 2200.0),
-                    BitStream(1200.0, mode="transition")])
-    ax2.bind(StreamSpec(np.complex64, fs2, blk_w, channels=(n_wide,)))
-    t = bench(ax2.compile(), ax2.init_carry(), xw)
     out["ax25_wide_channels"] = n_wide
-    out["ax25_wide_msps"] = round(n_wide * blk_w / t / 1e6, 1)
+    out["ax25_wide_msps"] = afsk_bank(n_wide, blk2 // 4, fused=True)
+    out["ax25_wide_unfused_msps"] = afsk_bank(n_wide, blk2 // 4, fused=False)
 
     out["metric"] = "per-mode receiver bank Msamples/s/chip (apps/rx.py)"
     print(json.dumps(out))
