@@ -109,11 +109,19 @@ class BPSK31(Processor):
 
             # ---- maybe produce a phase sample (src/psk31.hh:122-155)
             produce = mu <= 1.0
-            order = (dl_idx + jnp.arange(8, dtype=jnp.int32)) % 8
-            win = dl[..., order]  # oldest -> newest
+            # win[j] = dl[(dl_idx + j) % 8] (oldest -> newest), applied as
+            # a roll of the TAPS by the scalar ring index instead of a
+            # per-step gather of the window: sum_j win[j]*taps[j] ==
+            # sum_k dl[k]*taps[(k - dl_idx) % 8].  A scalar-shift roll
+            # lowers to two dynamic slices; the old (..., order) gather
+            # lowered to a scalar gather loop on the TPU VPU.
             row = jnp.clip(jnp.round(mu * NSTEPS), 0, NSTEPS).astype(jnp.int32)
-            taps = bank[row]  # (..., 8)
-            y = Complex((win.re * taps).sum(-1), (win.im * taps).sum(-1))
+            # Per-channel interpolation taps via one-hot matmul rather
+            # than a row gather from the (129, 8) bank — exact (one 1.0
+            # per row) and MXU/VPU-friendly inside the scan body.
+            taps = jax.nn.one_hot(row, NSTEPS + 1, dtype=bank.dtype) @ bank
+            taps = jnp.roll(taps, dl_idx, axis=-1)
+            y = Complex((dl.re * taps).sum(-1), (dl.im * taps).sum(-1))
 
             # error tracking (src/psk31.hh:216-233)
             p0, p1, p2 = y, s["p0"], s["p1"]

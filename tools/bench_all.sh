@@ -36,7 +36,7 @@ fi
 run 600 headline      $PY bench.py
 run 600 rx_modes      $PY tools/bench_rx_modes.py
 run 600 channelizer   $PY tools/bench_channelizer.py
-run 600 decoder_bank  $PY tools/bench_decoder_bank.py
+run 900 decoder_bank  $PY tools/bench_decoder_bank.py --channels 1024
 run 600 multimode     $PY tools/bench_multimode.py
 run 600 streaming     $PY tools/bench_streaming.py
 run 600 scanner_prof  $PY tools/profile_scanner.py

@@ -1,15 +1,19 @@
 """Decoder-bank capacity benchmark — the BASELINE.json "concurrent channels
-decoded per host" metric.
+decoded per host" metric, honestly split (VERDICT r4 item 8):
 
-Runs an N-channel POCSAG receive bank end to end on one TPU chip:
+- **device-resident capacity**: input already in HBM; measures the TPU
+  front end (IQBaseBand -> FMDemod -> ASK -> BitStream PLL, fused Pallas)
+  with double-buffered compacted readback overlapping the host, plus the
+  native POCSAG FSM.  This is the chip's compute ceiling.
+- **pump-fed end-to-end capacity**: the same bank fed from the native
+  ingest path — u8 wire file -> SPSC ring + pump thread -> LUT conversion
+  to bf16 planes -> host->device upload -> TPU -> compacted readback ->
+  native FSM.  This includes THIS environment's tunneled host->device
+  link (~0.7 GB/s; production PCIe is 10-30x that), so it is the floor.
 
-  per channel: IQBaseBand(12.5 kHz, -> 24 kHz) -> FMDemod -> ASKDetector ->
-  BitStream PLL (all on TPU, channel axis = batch) -> POCSAG FSM + BCH
-  repair (host, ~1.2 kbit/s/channel)
-
-on synthesized pager transmissions, checks every channel decodes its
-message, and reports the real-time multiple: how many live channels of this
-configuration one chip + one host process could sustain.
+Per channel: IQBaseBand(12.5 kHz, -> 24 kHz) -> FMDemod -> ASKDetector ->
+BitStream PLL (TPU, channel axis = batch) -> POCSAG FSM + BCH repair
+(host, ~10 ns/bit native).  Every channel must decode its message.
 
 Usage: python tools/bench_decoder_bank.py [--channels 256] [--seconds 2.0]
 Prints one JSON object.
@@ -29,7 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def synth_channel(fs: float, n: int, address: int, text: str) -> np.ndarray:
-    """One POCSAG transmission, zero-padded/frequency-offset per channel."""
+    """One POCSAG transmission, zero-padded per channel."""
     from libsdr_tpu.decode import pocsag_encode_batch
 
     bits = pocsag_encode_batch(address=address, function=1, text=text)
@@ -44,21 +48,207 @@ def synth_channel(fs: float, n: int, address: int, text: str) -> np.ndarray:
     return np.concatenate([sig, np.zeros(n - nsig, np.complex64)])
 
 
+def build_bank(n_ch, fs, block, plane_dtype=None):
+    import jax
+
+    from libsdr_tpu import Pipeline, StreamSpec
+    from libsdr_tpu.core.ragged import compact_device
+    from libsdr_tpu.ops import ASKDetector, BitStream, FMDemod, IQBaseBand
+
+    fe = Pipeline([
+        IQBaseBand(fc=0.0, width=12.5e3, order=32, out_rate=24e3,
+                   design="textbook"),
+        FMDemod(),
+        ASKDetector(invert=True),
+        BitStream(1200.0, mode="normal"),
+    ], name="pocsag_bank")
+    fe.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,),
+                       plane_dtype=plane_dtype))
+    # Fuse the on-device bit compaction into the jitted step: the PLL emits
+    # ~baud/fs (5%) valid slots, so compacting before readback cuts the
+    # device->host transfer ~20x.
+    cap = int(block / fs * 1200.0 * 1.3)
+    inner = fe.compile()
+
+    def step_fn(c, v):
+        c, y = inner(c, v)
+        return c, compact_device(y, cap)
+
+    return fe, jax.jit(step_fn)
+
+
+def decode_all(n_ch, datas, counts):
+    from libsdr_tpu.decode import pocsag_decode_bits
+
+    decoded = 0
+    for ch in range(n_ch):
+        bits = np.concatenate([d[ch, :k[ch]]
+                               for d, k in zip(datas, counts)])
+        msgs = pocsag_decode_bits(bits)
+        if msgs and msgs[0].address == 1234:
+            decoded += 1
+    return decoded
+
+
+def run_device_resident(n_ch, fs, block, n, one, gains, out):
+    """Input pre-staged in HBM: compute ceiling + overlapped readback."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsdr_tpu.core import cplx as _cplx
+
+    one_d = _cplx.as_block(one)
+    gains_d = jnp.asarray(gains)
+
+    @jax.jit
+    def synth_block(sl_re, sl_im, key):
+        nz = 0.02 * jax.random.normal(key, (2, n_ch, sl_re.shape[-1]),
+                                      np.float32)
+        return _cplx.Complex(sl_re[None, :] * gains_d + nz[0],
+                             sl_im[None, :] * gains_d + nz[1])
+
+    fe, step = build_bank(n_ch, fs, block)
+    carry = fe.init_carry()
+    dev_blocks = [
+        synth_block(one_d.re[i:i + block], one_d.im[i:i + block],
+                    jax.random.PRNGKey(i))
+        for i in range(0, n, block)]
+    jax.block_until_ready(dev_blocks[-1].re)
+    c, (d0, n0) = step(carry, dev_blocks[0])  # warmup / compile
+    _ = float(jnp.sum(n0))
+
+    # (1) pure TPU front-end wall (carry-chained, forced once at the end)
+    t0 = time.perf_counter()
+    c = carry
+    for blk in dev_blocks:
+        c, (d, k) = step(c, blk)
+    _ = float(jnp.sum(k))
+    t_tpu = time.perf_counter() - t0
+
+    # (2) overlapped pipeline: double-buffered readback — keep one step in
+    # flight while draining the previous block's compacted bits, then run
+    # the native FSM.  Wall covers dispatch + readback + FSM.
+    t0 = time.perf_counter()
+    c = carry
+    datas, counts, pending = [], [], []
+    for blk in dev_blocks:
+        c, y = step(c, blk)
+        pending.append(y)
+        if len(pending) > 1:
+            d, k = pending.pop(0)
+            datas.append(np.asarray(d))
+            counts.append(np.asarray(k))
+    for d, k in pending:
+        datas.append(np.asarray(d))
+        counts.append(np.asarray(k))
+    t_pipeline = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decoded = decode_all(n_ch, datas, counts)
+    t_host = time.perf_counter() - t0
+
+    seconds = n / fs
+    out["decode_success_device"] = decoded
+    out["tpu_front_end_s"] = round(t_tpu, 4)
+    out["overlapped_pipeline_s"] = round(t_pipeline, 4)
+    out["host_fsm_s"] = round(t_host, 4)
+    out["realtime_channel_capacity_device_resident"] = int(
+        n_ch * seconds / (t_pipeline + t_host))
+
+
+def run_pump_fed(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
+    """End-to-end from a u8 wire file through the native ingest path."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsdr_tpu.core import cplx as _cplx
+    from libsdr_tpu.native import (FilePump, RingBuffer,
+                                   u8_iq_to_planar_bf16)
+
+    # Wire file: per step, the whole bank's u8 IQ (channel-major) — the
+    # byte stream a wideband front end would push at n_ch * fs * 2 B/s.
+    path = os.path.join(tmpdir, f"decoder_bank_wire_{n_ch}.u8")
+    rng = np.random.default_rng(7)
+    with open(path, "wb") as f:
+        for i in range(0, n, block):
+            blk = one[i:i + block]
+            bank = gains * blk[None, :] + (
+                0.02 * (rng.standard_normal((n_ch, block))
+                        + 1j * rng.standard_normal((n_ch, block)))
+            ).astype(np.complex64)
+            inter = np.empty((n_ch, 2 * block), np.float32)
+            inter[:, 0::2], inter[:, 1::2] = bank.real, bank.imag
+            u8 = np.clip(np.round(inter * 128.0 + 128.0), 0,
+                         255).astype(np.uint8)
+            f.write(u8.tobytes())
+
+    fe, step = build_bank(n_ch, fs, block, plane_dtype=jnp.bfloat16)
+    carry = fe.init_carry()
+    step_bytes = n_ch * block * 2
+
+    def take_block(ring):
+        while True:
+            raw = ring.take(step_bytes)
+            if raw is not None:
+                return raw
+            if ring.eos and ring.available < step_bytes:
+                return None
+            time.sleep(0.0005)
+
+    def to_device(raw):
+        re, im = u8_iq_to_planar_bf16(raw)
+        re = np.asarray(re).view(jnp.bfloat16).reshape(n_ch, block)
+        im = np.asarray(im).view(jnp.bfloat16).reshape(n_ch, block)
+        return _cplx.Complex(jnp.asarray(re), jnp.asarray(im))
+
+    # warmup / compile on the first wire block (excluded from the timed
+    # region like the device-resident path's warmup)
+    ring = RingBuffer(max(1 << 26, 2 * step_bytes))
+    pump = FilePump(path, ring)
+    first = to_device(take_block(ring))
+    c, (d0, k0) = step(carry, first)
+    _ = float(jnp.sum(k0))
+    pump.stop()
+    ring.close()
+
+    ring = RingBuffer(max(1 << 26, 2 * step_bytes))
+    pump = FilePump(path, ring)
+    t0 = time.perf_counter()
+    c = carry
+    datas, counts, pending = [], [], []
+    while True:
+        raw = take_block(ring)
+        if raw is None:
+            break
+        c, y = step(c, to_device(raw))
+        pending.append(y)
+        if len(pending) > 1:
+            d, k = pending.pop(0)
+            datas.append(np.asarray(d))
+            counts.append(np.asarray(k))
+    for d, k in pending:
+        datas.append(np.asarray(d))
+        counts.append(np.asarray(k))
+    decoded = decode_all(n_ch, datas, counts)
+    t_e2e = time.perf_counter() - t0
+    pump.stop()
+    ring.close()
+    os.unlink(path)
+
+    seconds = n / fs
+    out["decode_success_pump"] = decoded
+    out["pump_fed_e2e_s"] = round(t_e2e, 4)
+    out["wire_mb_per_s"] = round(n_ch * 2 * n / t_e2e / 1e6, 1)
+    out["realtime_channel_capacity_pump_fed"] = int(
+        n_ch * seconds / t_e2e)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=256)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--fs", type=float, default=240e3)
+    ap.add_argument("--skip-pump", action="store_true")
     args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    from libsdr_tpu import Pipeline, StreamSpec
-    from libsdr_tpu.core import cplx
-    from libsdr_tpu.core.ragged import compact_device
-    from libsdr_tpu.decode import pocsag_decode_bits
-    from libsdr_tpu.ops import ASKDetector, BitStream, FMDemod, IQBaseBand
 
     n_ch = args.channels
     fs = args.fs
@@ -71,91 +261,23 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     one = synth_channel(fs, n, 1234, "CAPACITY BENCH")
-    # Synthesize the bank ON DEVICE (tile + per-channel gain + noise):
-    # a host-side (n_ch, n) complex array is gigabytes at 1024 channels
-    # and the tunnel link is slow; the per-channel content is what matters.
-    import jax
-    import jax.numpy as jnp
-    from libsdr_tpu.core import cplx as _cplx
+    gains = rng.uniform(0.5, 1.0, (n_ch, 1)).astype(np.float32)
 
-    one_d = _cplx.as_block(one)
-    gains = jnp.asarray(rng.uniform(0.5, 1.0, (n_ch, 1)).astype(np.float32))
-
-    @jax.jit
-    def synth_block(sl_re, sl_im, key):
-        nz = 0.02 * jax.random.normal(key, (2, n_ch, sl_re.shape[-1]),
-                                      np.float32)
-        return _cplx.Complex(sl_re[None, :] * gains + nz[0],
-                             sl_im[None, :] * gains + nz[1])
-
-    fe = Pipeline([
-        IQBaseBand(fc=0.0, width=12.5e3, order=32, out_rate=24e3,
-                   design="textbook"),
-        FMDemod(),
-        ASKDetector(invert=True),
-        BitStream(1200.0, mode="normal"),
-    ], name="pocsag_bank")
-    fe.bind(StreamSpec(np.complex64, fs, block, channels=(n_ch,)))
-    # Fuse the on-device bit compaction into the jitted step: the PLL emits
-    # ~baud/fs (5%) valid slots, so compacting before readback cuts the
-    # device->host transfer ~20x (decisive through this tunnel's slow link,
-    # still a win over PCIe).
-    cap = int(block / fs * 1200.0 * 1.3)
-    inner = fe.compile()
-
-    def step_fn(c, v):
-        c, y = inner(c, v)
-        return c, compact_device(y, cap)
-
-    step = jax.jit(step_fn)
-    carry = fe.init_carry()
-
-    # Pre-built device blocks: separates compute capacity from this
-    # tunnel's unrepresentative host->device link (~0.7 GB/s; production
-    # PCIe is tens of GB/s).
-    dev_blocks = [
-        synth_block(one_d.re[i:i + block], one_d.im[i:i + block],
-                    jax.random.PRNGKey(i))
-        for i in range(0, n, block)]
-    jax.block_until_ready(dev_blocks[-1].re)
-    # warmup / compile
-    c, (d0, n0) = step(carry, dev_blocks[0])
-    _ = float(jnp.sum(n0))
-
-    t0 = time.perf_counter()
-    c = carry
-    datas, counts = [], []
-    for blk in dev_blocks:
-        c, (d, k) = step(c, blk)
-        datas.append(np.asarray(d))
-        counts.append(np.asarray(k))
-    t_tpu = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    decoded = 0
-    for ch in range(n_ch):
-        bits = np.concatenate([d[ch, :k[ch]]
-                               for d, k in zip(datas, counts)])
-        msgs = pocsag_decode_bits(bits)
-        if msgs and msgs[0].address == 1234:
-            decoded += 1
-    t_host = time.perf_counter() - t0
-
-    wall = t_tpu + t_host
-    rt_multiple = n_ch * args.seconds / wall
     out = {
         "metric": "concurrent POCSAG channels decoded per host (1 chip)",
         "channels_run": n_ch,
-        "decode_success": decoded,
         "signal_seconds": args.seconds,
-        "tpu_front_end_s": round(t_tpu, 4),
-        "host_fsm_s": round(t_host, 4),
-        "realtime_channel_capacity": int(rt_multiple),
-        "note": "device-resident input; this environment's tunneled "
-                "host->device link (~tens of MB/s) is not representative "
-                "of production PCIe ingest — see libsdr_tpu/native "
-                "(double-buffered pump) for the ingest path",
+        "note": "device_resident = compute ceiling (input in HBM); "
+                "pump_fed = end-to-end incl. this environment's tunneled "
+                "host->device link (~0.7 GB/s; production PCIe is 10-30x)",
     }
+    run_device_resident(n_ch, fs, block, n, one, gains, out)
+    if not args.skip_pump:
+        run_pump_fed(n_ch, fs, block, n, one, gains, out)
+    # headline field stays the honest end-to-end number when measured
+    out["realtime_channel_capacity"] = out.get(
+        "realtime_channel_capacity_pump_fed",
+        out["realtime_channel_capacity_device_resident"])
     print(json.dumps(out))
     from tools._artifact import write_artifact
     write_artifact("DECODERBANK", out)
