@@ -186,3 +186,119 @@ class BitStream(Processor):
             return new_carry, Ragged(bits, valid)
         return new_carry, Ragged(jnp.moveaxis(bits, 0, -1),
                                  jnp.moveaxis(valid, 0, -1))
+
+
+def bitstream_bank_supported(entries) -> bool:
+    """True when the banked kernel can run this set: >= 2 configurations,
+    equal step counts, and the stacked lane bank passes the kernel gate at
+    the LARGEST majority window."""
+    from libsdr_tpu.ops.fir import kernel_dispatch
+    from libsdr_tpu.ops.pallas_bitsync import bitsync_pallas_supported
+
+    use_k, _ = kernel_dispatch()
+    if not use_k or len(entries) < 2:
+        return False
+    ts = {x.shape[-1] for _, _, x in entries}
+    if len(ts) != 1:
+        return False
+    t = ts.pop()
+    m = sum(int(np.prod(x.shape[:-1])) for _, _, x in entries)
+    m_pad = -(-m // 128) * 128
+    ell = max(bs.corr_len for bs, _, _ in entries)
+    return bitsync_pallas_supported(t, m_pad, ell)
+
+
+def bitstream_bank_apply(entries):
+    """Run SEVERAL bound BitStreams as ONE banked Pallas kernel launch.
+
+    ``entries``: list of ``(bitstream, carry, x)`` with ``x`` shaped
+    ``(channels..., T)`` (uint8 symbols), all sharing T.  Returns a list of
+    ``(new_carry, Ragged)`` in order — per lane bit-exact vs calling each
+    ``bitstream.apply`` separately (same recurrence, per-lane parameters).
+
+    The PLL is time-sequential, so N separate launches pay N serial passes
+    over T; stacked lanes pay ONE (the multimode decoder bank's three
+    BitStreams were its profiled wall, tools/profile_multimode.py).  Falls
+    back to per-entry apply when the kernel path is unavailable.
+    """
+    if not bitstream_bank_supported(entries):
+        return [bs.apply(c, x) for bs, c, x in entries]
+
+    from libsdr_tpu.ops.fir import kernel_dispatch
+    from libsdr_tpu.ops.pallas_bitsync import pll_pallas_bank
+
+    _, interp = kernel_dispatch()
+    t = entries[0][2].shape[-1]
+    ms = [int(np.prod(x.shape[:-1])) for _, _, x in entries]
+    m = sum(ms)
+    m_pad = -(-m // 128) * 128
+    ells = tuple(sorted({bs.corr_len for bs, _, _ in entries}))
+    nring = max(ells) - 1
+    f32, i32 = jnp.float32, jnp.int32
+
+    sym = jnp.concatenate(
+        [jnp.moveaxis(x, -1, 0).reshape(t, mi)
+         for (_, _, x), mi in zip(entries, ms)], axis=-1)
+    signs = jnp.zeros((nring, m), i32)
+    omin = jnp.zeros(m, f32)
+    omax = jnp.zeros(m, f32)
+    gain = jnp.zeros(m, f32)
+    trans = jnp.zeros(m, i32)
+    onehot = jnp.zeros((len(ells), m), i32)
+    sym_sum = jnp.zeros(m, i32)
+    phase = jnp.zeros(m, f32)
+    omega = jnp.zeros(m, f32)
+    last_bits = jnp.zeros(m, i32)
+    off = 0
+    for (bs, c, x), mi in zip(entries, ms):
+        sl = slice(off, off + mi)
+        li = bs.corr_len - 1
+        # lane's previous signs occupy the LAST li rows (oldest first)
+        signs = signs.at[nring - li:, sl].set(
+            jnp.moveaxis(c["signs"], -1, 0).reshape(li, mi))
+        omin = omin.at[sl].set(bs._omega_min)
+        omax = omax.at[sl].set(bs._omega_max)
+        gain = gain.at[sl].set(bs._pll_gain)
+        trans = trans.at[sl].set(1 if bs.mode == TRANSITION else 0)
+        onehot = onehot.at[ells.index(bs.corr_len), sl].set(1)
+        sym_sum = sym_sum.at[sl].set(c["sym_sum"].reshape(mi))
+        phase = phase.at[sl].set(c["phase"].reshape(mi))
+        omega = omega.at[sl].set(c["omega"].reshape(mi))
+        last_bits = last_bits.at[sl].set(c["last_bits"].reshape(mi))
+        off += mi
+
+    def pad(a, fill=0):
+        if m_pad == m:
+            return a
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, m_pad - m)]
+        return jnp.pad(a, widths, constant_values=fill)
+
+    # pad lanes: zero symbols, the first window length, sane omega bounds
+    # (outputs and states of pad lanes are discarded)
+    out, sg2, ss2, ph2, om2, lb2 = pll_pallas_bank(
+        pad(sym), pad(signs), pad(sym_sum), pad(phase), pad(omega),
+        pad(last_bits), pad(omin, entries[0][0]._omega_min),
+        pad(omax, entries[0][0]._omega_max), pad(gain),
+        pad(trans), pad(onehot).at[0, m:].set(1) if m_pad != m else
+        pad(onehot), ells=ells, interpret=interp)
+
+    results = []
+    off = 0
+    for (bs, c, x), mi in zip(entries, ms):
+        sl = slice(off, off + mi)
+        ch_shape = x.shape[:-1]
+        li = bs.corr_len - 1
+        o = out[:, sl]
+        bits = jnp.moveaxis((o & 1).astype(jnp.uint8).reshape((t,) + ch_shape),
+                            0, -1)
+        valid = jnp.moveaxis(((o & 2) != 0).reshape((t,) + ch_shape), 0, -1)
+        new_c = dict(
+            signs=jnp.moveaxis(
+                sg2[nring - li:, sl].reshape((li,) + ch_shape), 0, -1),
+            sym_sum=ss2[sl].reshape(ch_shape),
+            phase=ph2[sl].reshape(ch_shape),
+            omega=om2[sl].reshape(ch_shape),
+            last_bits=lb2[sl].reshape(ch_shape))
+        results.append((new_c, Ragged(bits, valid)))
+        off += mi
+    return results

@@ -243,3 +243,194 @@ def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
       omega.reshape(sub, _LANES), last_bits.reshape(sub, _LANES))
     return (out.reshape(t, m), sg2.reshape(nring, m), ss2.reshape(m),
             ph2.reshape(m), om2.reshape(m), lb2.reshape(m))
+
+
+# ---------------------------------------------------------------------------
+# Banked variant: SEVERAL BitStream configurations (different baud, majority
+# window, transition mode) in ONE kernel launch.  The PLL is sequential in
+# time, so N per-mode kernel calls cost N serial passes over T steps; lanes
+# are nearly free — stacking all modes' channels into one lane bank runs the
+# time loop ONCE (the multimode bank's three BitStreams were its profiled
+# wall, tools/profile_multimode.py).
+#
+# Generalizations vs _kernel (arithmetic per lane stays bit-exact):
+# - omega_min/omega_max/gain/transition become per-lane (SUB, 128) vectors;
+# - the majority window length ell is per lane, drawn from the (static)
+#   distinct set `ells`: the shared sign ring is sized max(ells)-1 rows, and
+#   each step reads ONE departing row per distinct ell (scalar row index,
+#   same for all lanes) and selects per lane by precomputed masks.  The
+#   caller zero-pads each lane's imported signs to the shared depth, so the
+#   import-time window sum (sum over all rows) is already per-lane correct.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bank(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
+                 omin_v, omax_v, gain_v, trans_v, msk,
+                 out_hbm, sg_out, ss_out, ph_out, om_out, lb_out,
+                 sym_s, out_s, ring, rsum, sin, sout, *,
+                 tt: int, sub: int, ells: tuple):
+    ci = pl.program_id(0)
+    n_ci = pl.num_programs(0)
+    nring = max(ells) - 1
+
+    def start_in(slot, ci_):
+        pltpu.make_async_copy(
+            sym_hbm.at[pl.ds(pl.multiple_of(ci_ * (tt * sub), 8), tt * sub), :],
+            sym_s.at[slot], sin.at[slot]).start()
+
+    slot = ci % 2
+
+    @pl.when(ci == 0)
+    def _():
+        start_in(0, ci)
+        ring[...] = sg_in[...]
+        acc = sg_in[0:sub, :]
+        for k in range(1, nring):
+            acc = acc + sg_in[k * sub:(k + 1) * sub, :]
+        rsum[...] = acc
+        ss_out[...] = ss_in[...]
+        ph_out[...] = ph_in[...]
+        om_out[...] = om_in[...]
+        lb_out[...] = lb_in[...]
+
+    @pl.when(ci + 1 < n_ci)
+    def _():
+        start_in(1 - slot, ci + 1)
+
+    pltpu.make_async_copy(sym_s.at[slot], sym_s.at[slot], sin.at[slot]).wait()
+
+    @pl.when(ci >= 2)
+    def _():
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+    omin = omin_v[...]
+    omax = omax_v[...]
+    gn = gain_v[...]
+    tr = trans_v[...] > 0
+
+    def body(j, st):
+        phase, omega, lb, last_sum, rs, rpos = st
+        r = pl.multiple_of(j * (_UNROLL * sub), 8)
+        symu = sym_s[slot, pl.ds(r, _UNROLL * sub), :].astype(jnp.int32)
+        outs = []
+        for u in range(_UNROLL):
+            sym = symu[u * sub:(u + 1) * sub, :]
+            sign = jnp.where(sym > 0, 1, -1)
+            s_now = rs + sign
+            bn = (s_now > 0).astype(jnp.int32)
+            crossed = ((last_sum < 0) & (s_now >= 0)) | \
+                      ((last_sum >= 0) & (s_now < 0))
+            # departing sign per lane: one scalar-indexed row per distinct
+            # window length, selected by the lane masks (read BEFORE the
+            # write — the max-ell row IS the write row)
+            oldest = jnp.zeros_like(sign)
+            for k, ellk in enumerate(ells):
+                back = rpos - (ellk - 1)
+                back = jnp.where(back < 0, back + nring, back)
+                rr_k = pl.multiple_of(back * sub, sub)
+                oldest = oldest + msk[pl.ds(k * sub, sub), :] * \
+                    ring[pl.ds(rr_k, sub), :]
+            rr = pl.multiple_of(rpos * sub, sub)
+            ring[pl.ds(rr, sub), :] = sign
+            rs = s_now - oldest
+            last_sum = s_now
+            rpos = jnp.where(rpos + 1 >= nring, 0, rpos + 1)
+            phase = phase + omega
+            emit = phase >= 1.0
+            phase = jnp.where(emit, phase - 1.0, phase)
+            lb = jnp.where(emit, ((lb << 1) | bn) & 0xFFFF, lb)
+            bit = jnp.where(tr, (lb ^ (lb >> 1) ^ 1) & 1, lb & 1)
+            omega = jnp.where(crossed, omega + gn * (0.5 - phase), omega)
+            omega = jnp.clip(omega, omin, omax)
+            outs.append(bit | (emit.astype(jnp.int32) << 1))
+        packed = jnp.concatenate(outs, axis=0).astype(jnp.int8)
+        out_s[slot, pl.ds(r, _UNROLL * sub), :] = packed
+        return phase, omega, lb, last_sum, rs, rpos
+
+    st = (ph_out[...], om_out[...], lb_out[...], ss_out[...], rsum[...],
+          (ci * tt) % nring)
+    st = jax.lax.fori_loop(0, tt // _UNROLL, body, st)
+    ph_out[...], om_out[...], lb_out[...], ss_out[...], rsum[...] = st[:5]
+
+    pltpu.make_async_copy(out_s.at[slot], out_hbm.at[ci],
+                          sout.at[slot]).start()
+
+    @pl.when(ci == n_ci - 1)
+    def _():
+        rpos_f = (n_ci * tt) % nring
+        for k in range(nring):
+            src = rpos_f + k
+            src = jnp.where(src >= nring, src - nring, src)
+            sg_out[k * sub:(k + 1) * sub, :] = \
+                ring[pl.ds(pl.multiple_of(src * sub, sub), sub), :]
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+        @pl.when(n_ci > 1)
+        def _():
+            pltpu.make_async_copy(out_s.at[1 - slot], out_s.at[1 - slot],
+                                  sout.at[1 - slot]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("ells", "interpret"))
+def pll_pallas_bank(sym, signs, sym_sum, phase, omega, last_bits,
+                    omega_min_v, omega_max_v, gain_v, transition_v,
+                    ell_onehot, *, ells: tuple, interpret: bool = False):
+    """Banked majority+PLL over ``sym`` (T, M) uint8: per-lane parameters.
+
+    Args beyond :func:`pll_pallas`:
+      signs: (max(ells)-1, M) int32 — each lane's previous window signs
+        occupy the LAST ell_lane-1 rows (oldest first), other rows ZERO.
+      omega_min_v/omega_max_v/gain_v: (M,) float32 per-lane PLL bounds/gain.
+      transition_v: (M,) int32 (nonzero = transition bit mapping).
+      ell_onehot: (len(ells), M) int32 — lane k's window-length selector.
+      ells: static distinct majority window lengths.
+
+    Returns the same tuple as :func:`pll_pallas`; per lane bit-exact vs a
+    single-mode kernel/scan run with that lane's configuration.
+    """
+    t, m = sym.shape
+    nring = max(ells) - 1
+    assert signs.shape[0] == nring
+    sub = m // _LANES
+    tt = _tt_for(t, sub)
+    n_chunks = t // tt
+    st_f = jax.ShapeDtypeStruct((sub, _LANES), jnp.float32)
+    st_i = jax.ShapeDtypeStruct((sub, _LANES), jnp.int32)
+    rep = pl.BlockSpec((sub, _LANES), lambda c: (0, 0),
+                       memory_space=pltpu.VMEM)
+    ring_spec = pl.BlockSpec((nring * sub, _LANES), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    msk_spec = pl.BlockSpec((len(ells) * sub, _LANES), lambda c: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out, sg2, ss2, ph2, om2, lb2 = pl.pallas_call(
+        functools.partial(_kernel_bank, tt=tt, sub=sub, ells=ells),
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  ring_spec, rep, rep, rep, rep,
+                  rep, rep, rep, rep, msk_spec],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   ring_spec, rep, rep, rep, rep],
+        out_shape=[jax.ShapeDtypeStruct((n_chunks, tt * sub, _LANES),
+                                        jnp.int8),
+                   jax.ShapeDtypeStruct((nring * sub, _LANES), jnp.int32),
+                   st_i, st_f, st_f, st_i],
+        scratch_shapes=[pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
+                        pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
+                        pltpu.VMEM((nring * sub, _LANES), jnp.int32),
+                        pltpu.VMEM((sub, _LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * t * m, transcendentals=0,
+            bytes_accessed=2 * t * m),
+        interpret=interpret,
+    )(sym.reshape(t * sub, _LANES), signs.reshape(nring * sub, _LANES),
+      sym_sum.reshape(sub, _LANES), phase.reshape(sub, _LANES),
+      omega.reshape(sub, _LANES), last_bits.reshape(sub, _LANES),
+      omega_min_v.reshape(sub, _LANES), omega_max_v.reshape(sub, _LANES),
+      gain_v.reshape(sub, _LANES), transition_v.reshape(sub, _LANES),
+      ell_onehot.reshape(len(ells) * sub, _LANES))
+    return (out.reshape(t, m), sg2.reshape(nring, m), ss2.reshape(m),
+            ph2.reshape(m), om2.reshape(m), lb2.reshape(m))

@@ -134,12 +134,11 @@ def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
             # complex bank rides the ICI once.
             y = y.map(lambda a: jax.lax.all_to_all(
                 a, axis, split_axis=0, concat_axis=1, tiled=True))
-        outs, new_c = {}, {}
-        for mode in modes:
-            cg, bits = sub_l[mode].apply(carries[mode], y[loc_groups[mode]])
-            new_c[mode] = cg
-            outs[mode] = (compact_windows(bits, windows[mode])
-                          if windows[mode] else bits)
+        # Per-mode chains with all BitStream PLLs merged into ONE banked
+        # Pallas launch per device (apps/multimode.apply_mode_chains).
+        from libsdr_tpu.apps.multimode import apply_mode_chains
+        outs, new_c = apply_mode_chains(sub_l, carries, y, loc_groups,
+                                        windows)
         return (new_hist, new_c), outs
 
     def leaf_spec(v):

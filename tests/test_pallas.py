@@ -652,3 +652,96 @@ def test_afsk_fused_decodes_ax25(rng):
     assert got[0].payload.endswith(info)   # leading ctrl/PID bytes 03 F0
     ref = decode("off")
     assert ref and ref[0].payload == got[0].payload
+
+
+def test_bitstream_bank_matches_individual(rng):
+    """The banked multi-config PLL kernel (per-lane baud/window/transition,
+    ops/pallas_bitsync.pll_pallas_bank) is bit-exact vs each BitStream
+    applied individually — across carried blocks and with distinct majority
+    windows (POCSAG/AX.25 L=20, RTTY L=264)."""
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops.bitsync import (BitStream, bitstream_bank_apply,
+                                        bitstream_bank_supported)
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    fs, t = 24_000.0, 2048
+    configs = [("pocsag", BitStream(1200.0, mode="normal"), 48),
+               ("ax25", BitStream(1200.0, mode="transition"), 40),
+               ("rtty", BitStream(2 * 45.45, mode="normal"), 40)]
+    xs = {}
+    for name, bs, nch in configs:
+        bs.bind(StreamSpec(jnp.uint8, fs, t, channels=(nch,)))
+        xs[name] = (rng.random((nch, 2 * t)) > 0.5).astype(np.uint8)
+
+    # reference: each BitStream separately (scan path), streamed 2 blocks
+    ref = {}
+    for name, bs, nch in configs:
+        c = bs.init_carry()
+        outs = []
+        for i in range(2):
+            c, y = bs.apply(c, jnp.asarray(xs[name][:, i * t:(i + 1) * t]))
+            outs.append((np.asarray(y.data), np.asarray(y.valid)))
+        ref[name] = outs
+
+    # banked kernel (interpret mode), same streaming
+    with kernel_mode("interpret"):
+        entries = [(bs, bs.init_carry(), None) for _, bs, _ in configs]
+        assert bitstream_bank_supported(
+            [(bs, c, jnp.asarray(xs[name][:, :t]))
+             for (name, bs, _), (_, c, _) in zip(configs, entries)])
+        carries = [c for _, c, _ in entries]
+        got = {name: [] for name, _, _ in configs}
+        for i in range(2):
+            res = bitstream_bank_apply(
+                [(bs, carries[j], jnp.asarray(xs[name][:, i * t:(i + 1) * t]))
+                 for j, (name, bs, _) in enumerate(configs)])
+            for j, (name, _, _) in enumerate(configs):
+                carries[j] = res[j][0]
+                got[name].append((np.asarray(res[j][1].data),
+                                  np.asarray(res[j][1].valid)))
+
+    for name, _, _ in configs:
+        for i in range(2):
+            np.testing.assert_array_equal(ref[name][i][0], got[name][i][0],
+                                          err_msg=f"{name} block {i} bits")
+            np.testing.assert_array_equal(ref[name][i][1], got[name][i][1],
+                                          err_msg=f"{name} block {i} valid")
+
+
+def test_multimode_banked_step_matches_unbanked(rng):
+    """apps/multimode.build_bank with the banked PLL launch (kernel
+    interpret) is bit-identical to the per-mode fallback path on the same
+    wideband block, including carried state across two blocks."""
+    from libsdr_tpu.apps.multimode import MODES, build_bank
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.ops.fir import kernel_mode
+
+    m = 16
+    fs = m * 24_000.0
+    t_full = 3072  # multiple of 12 (psk31 decimator) and 16
+    block = m * t_full
+    mode_map = {ch: MODES[ch % len(MODES)] for ch in range(m)}
+    x = [cplx.Complex(
+            jnp.asarray(rng.normal(size=block).astype(np.float32)),
+            jnp.asarray(rng.normal(size=block).astype(np.float32)))
+         for _ in range(2)]
+
+    def run(mode):
+        with kernel_mode(mode):
+            step, init_carry, groups = build_bank(fs, block, m, mode_map)
+            c = init_carry()
+            outs = []
+            for blk in x:
+                c, o = step(c, blk)
+                outs.append({k: (np.asarray(v.data), np.asarray(v.valid))
+                             for k, v in o.items()})
+            return outs
+
+    a = run("off")         # per-mode scan fallback
+    b = run("interpret")   # banked kernel launch
+    for i in range(2):
+        for k in a[i]:
+            np.testing.assert_array_equal(a[i][k][0], b[i][k][0],
+                                          err_msg=f"{k} block {i} bits")
+            np.testing.assert_array_equal(a[i][k][1], b[i][k][1],
+                                          err_msg=f"{k} block {i} valid")

@@ -617,3 +617,42 @@ def test_mosaic_tiling_bit_identity_on_chip():
     af, bf = cplx.to_numpy(yf), np.concatenate(hs, axis=-1)
     ulp_check(af.real, bf.real, "pfb full vs shard-sized blocks (re)")
     ulp_check(af.imag, bf.imag, "pfb full vs shard-sized blocks (im)")
+
+
+def test_bitsync_bank_kernel_on_chip(rng):
+    """Compiled-Mosaic banked PLL (per-lane window/baud/transition,
+    ops/pallas_bitsync.pll_pallas_bank) vs each BitStream's own path on the
+    real chip — the multimode bank's merged-PLL launch must be bit-exact
+    outside interpret mode too (new per-lane row selects + masked ring
+    reads are untested Mosaic patterns otherwise)."""
+    from libsdr_tpu import StreamSpec
+    from libsdr_tpu.ops.bitsync import BitStream, bitstream_bank_apply
+
+    fs, t = 24_000.0, 12288
+    configs = [("pocsag", BitStream(1200.0, mode="normal"), 64),
+               ("ax25", BitStream(1200.0, mode="transition"), 64),
+               ("rtty", BitStream(2 * 45.45, mode="normal"), 64)]
+    xs, ref = {}, {}
+    for name, bs, nch in configs:
+        bs.bind(StreamSpec(jnp.uint8, fs, t, channels=(nch,)))
+        xs[name] = (rng.random((nch, 2 * t)) > 0.5).astype(np.uint8)
+        c = bs.init_carry()
+        outs = []
+        for i in range(2):  # single-mode kernel path (proven on chip)
+            c, y = bs.apply(c, jnp.asarray(xs[name][:, i * t:(i + 1) * t]))
+            outs.append((np.asarray(y.data), np.asarray(y.valid)))
+        ref[name] = outs
+
+    carries = [bs.init_carry() for _, bs, _ in configs]
+    for i in range(2):
+        res = bitstream_bank_apply(
+            [(bs, carries[j], jnp.asarray(xs[name][:, i * t:(i + 1) * t]))
+             for j, (name, bs, _) in enumerate(configs)])
+        for j, (name, _, _) in enumerate(configs):
+            carries[j] = res[j][0]
+            np.testing.assert_array_equal(
+                ref[name][i][0], np.asarray(res[j][1].data),
+                err_msg=f"{name} block {i} bits")
+            np.testing.assert_array_equal(
+                ref[name][i][1], np.asarray(res[j][1].valid),
+                err_msg=f"{name} block {i} valid")
