@@ -194,17 +194,43 @@ def run_pump_fed(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
                 return None
             time.sleep(0.0005)
 
-    def to_device(raw):
+    def convert(raw):
         re, im = u8_iq_to_planar_bf16(raw)
-        re = np.asarray(re).view(jnp.bfloat16).reshape(n_ch, block)
-        im = np.asarray(im).view(jnp.bfloat16).reshape(n_ch, block)
-        return _cplx.Complex(jnp.asarray(re), jnp.asarray(im))
+        return (np.asarray(re).view(jnp.bfloat16).reshape(n_ch, block),
+                np.asarray(im).view(jnp.bfloat16).reshape(n_ch, block))
+
+    def to_device(planes):
+        return _cplx.Complex(jnp.asarray(planes[0]), jnp.asarray(planes[1]))
+
+    def converted_blocks(ring):
+        """Prefetch thread: ring take + LUT conversion overlap the device
+        step (the production ingest topology; JAX stays on the main
+        thread)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def work():
+            while True:
+                raw = take_block(ring)
+                if raw is None:
+                    q.put(None)
+                    return
+                q.put(convert(raw))
+
+        threading.Thread(target=work, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
 
     # warmup / compile on the first wire block (excluded from the timed
     # region like the device-resident path's warmup)
     ring = RingBuffer(max(1 << 26, 2 * step_bytes))
     pump = FilePump(path, ring)
-    first = to_device(take_block(ring))
+    first = to_device(convert(take_block(ring)))
     c, (d0, k0) = step(carry, first)
     _ = float(jnp.sum(k0))
     pump.stop()
@@ -215,11 +241,8 @@ def run_pump_fed(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
     t0 = time.perf_counter()
     c = carry
     datas, counts, pending = [], [], []
-    while True:
-        raw = take_block(ring)
-        if raw is None:
-            break
-        c, y = step(c, to_device(raw))
+    for planes in converted_blocks(ring):
+        c, y = step(c, to_device(planes))
         pending.append(y)
         if len(pending) > 1:
             d, k = pending.pop(0)
