@@ -309,6 +309,48 @@ def serve(store: APRSStore, port: int = 8080) -> ThreadingHTTPServer:
     return httpd
 
 
+def _serve_live(args):
+    """Live serving loop: s16 AFSK audio wire -> incremental bit front end
+    -> streaming APRS decode -> websocket push as spots arrive (the
+    always-on deployment of the reference's cmd/ app; live source analog:
+    src/portaudio.cc PortSource driver thread)."""
+    import numpy as np
+
+    from libsdr_tpu.apps.chains import afsk_front_end
+    from libsdr_tpu.core import cplx
+    from libsdr_tpu.core.ragged import Ragged, compact
+    from libsdr_tpu.io.live import LiveStats, stream_live_audio
+
+    store = APRSStore()
+    httpd = serve(store, args.port)
+    print(f"live APRS on :{args.port} (GET /spots, ws /ws) "
+          f"from {args.live}")
+    fe = afsk_front_end(args.rate, args.block_size)
+    step = fe.compile()
+    carry = fe.init_carry()
+    dec = APRSDecoder()
+    stats = LiveStats()
+    n_pushed = 0
+    try:
+        for blk in stream_live_audio(args.live, args.block_size,
+                                     stats=stats,
+                                     timeout=args.live_timeout):
+            carry, y = step(carry, cplx.as_block(blk))
+            bits = compact(Ragged(np.asarray(y.data), np.asarray(y.valid)))
+            dec.process(bits)
+            while n_pushed < len(dec.aprs_messages):
+                store.add(dec.aprs_messages[n_pushed])  # wakes /ws queues
+                n_pushed += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+    print(f"live done: {n_pushed} spots, {stats.bytes_in} bytes in, "
+          f"{stats.bytes_dropped} dropped "
+          f"({100 * stats.drop_fraction:.2f}%)")
+    return store
+
+
 def main(argv=None):
     import numpy as np
 
@@ -321,7 +363,19 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--oneshot", action="store_true",
                    help="decode the file, print spots JSON, exit")
+    p.add_argument("--live",
+                   help="live s16 AFSK audio wire instead of a file "
+                        "(tcp://h:p, tcp-listen://:p, udp://:p, "
+                        "fifo:///path) — requires --rate; spots stream to "
+                        "/ws websocket clients as they decode")
+    p.add_argument("--live-timeout", type=float, default=None,
+                   help="stop after this many seconds with no wire data")
     args = p.parse_args(argv)
+
+    if args.live:
+        if not args.rate:
+            raise SystemExit("--live requires --rate")
+        return _serve_live(args)
 
     audio, fs = load_source(args)
     if np.iscomplexobj(audio):

@@ -134,14 +134,22 @@ def main(argv=None):
     if args.live:
         if not args.rate:
             raise SystemExit("--live requires --rate")
-        from libsdr_tpu.io.live import LiveStats, stream_live_iq
+        from libsdr_tpu.io.live import (LiveStats, stream_live_iq,
+                                        stream_live_iq_bf16)
         fs = args.rate
         block = pick_block(fs, args.channels)
         stats = LiveStats()
-        found = scan_blocks(
-            stream_live_iq(args.live, block, stats=stats,
-                           timeout=args.live_timeout),
-            fs, args.channels, block, baud=args.baud)
+        if args.bf16:   # u8 wire straight to bf16 planes into the PFB
+            import jax.numpy as jnp
+            src = stream_live_iq_bf16(args.live, block, stats=stats,
+                                      timeout=args.live_timeout)
+            plane_dtype = jnp.bfloat16
+        else:
+            src = stream_live_iq(args.live, block, stats=stats,
+                                 timeout=args.live_timeout)
+            plane_dtype = None
+        found = scan_blocks(src, fs, args.channels, block, baud=args.baud,
+                            plane_dtype=plane_dtype)
         print(f"live: {stats.bytes_in} bytes in, "
               f"{stats.bytes_dropped} dropped "
               f"({100 * stats.drop_fraction:.2f}%), "

@@ -194,6 +194,79 @@ def stream_live_iq_bf16(url: str, block_size: int,
                        to_block)
 
 
+def stream_live_audio(url: str, block_size: int, dtype=np.int16,
+                      ring_bytes: int = 1 << 22,
+                      stats: Optional[LiveStats] = None,
+                      timeout: Optional[float] = None) -> Iterator[np.ndarray]:
+    """Yield float32 MONO audio blocks from a live wire (s16 or u8
+    samples) — the PortAudio-source analog for demodulated-audio consumers
+    like the APRS service (reference: src/portaudio.cc PortSource)."""
+    dt = np.dtype(dtype)
+    if dt == np.int16:
+        def conv(raw):
+            from libsdr_tpu.native import get_lib
+            a = raw.view(np.int16)
+            lib = get_lib()
+            if lib is not None:
+                out = np.empty(len(a), np.float32)
+                import ctypes
+                lib.s16_to_f32(a.ctypes.data_as(ctypes.c_void_p), len(a),
+                               out.ctypes.data_as(ctypes.c_void_p))
+                return out
+            return a.astype(np.float32) / 32768.0
+    elif dt == np.uint8:
+        def conv(raw):
+            return (raw.astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"stream_live_audio: unsupported dtype {dt}")
+    itemsize = dt.itemsize
+    bytes_per_block = block_size * itemsize
+    ring = RingBuffer(max(ring_bytes, 4 * bytes_per_block))
+    pump = open_live_pump(url, ring, frame=itemsize)
+
+    def to_block(blk, pad_to=None):
+        if pad_to is not None and len(blk) < pad_to:
+            z = np.zeros(pad_to, np.float32)
+            z[:len(blk)] = blk
+            return z
+        return blk
+
+    def loop():
+        if stats is not None:
+            stats.t0 = time.perf_counter()
+        last = time.perf_counter()
+        try:
+            while True:
+                raw = ring.take(bytes_per_block)
+                if raw is None:
+                    if ring.eos:
+                        n = ring.available - ring.available % itemsize
+                        if n:
+                            raw = ring.take(n)
+                            if raw is not None and len(raw):
+                                yield to_block(conv(raw), pad_to=block_size)
+                        break
+                    if (timeout is not None
+                            and time.perf_counter() - last > timeout):
+                        break
+                    time.sleep(0.0005)
+                    continue
+                last = time.perf_counter()
+                if stats is not None:
+                    stats.bytes_in = pump.bytes_in
+                    stats.bytes_dropped = pump.bytes_dropped
+                    stats.blocks += 1
+                yield conv(raw)
+        finally:
+            pump.stop()
+            if stats is not None:
+                stats.bytes_in = pump.bytes_in
+                stats.bytes_dropped = pump.bytes_dropped
+            ring.close()
+
+    return loop()
+
+
 # ---------------------------------------------------------------------------
 # rtl_tcp client — the real-world remote-RTL front end
 # ---------------------------------------------------------------------------

@@ -345,3 +345,77 @@ def test_throughput_drop_metrics():
     th2.update_from(st)
     assert th2.dropped == 100
     assert th2.drop_fraction == pytest.approx(0.1)
+
+
+def test_aprs_service_live_fifo(tmp_path):
+    """Always-on APRS deployment: live s16 AFSK audio wire -> incremental
+    decode -> spot stored (and pushed to /ws subscribers) while serving."""
+    import os
+
+    from libsdr_tpu.apps import aprs_service
+    from libsdr_tpu.ops import siggen
+    from libsdr_tpu.decode import ax25_frame_bits
+    from tests.test_apps import _nrzi
+
+    fs = 24_000
+    frame_bits = ax25_frame_bits(
+        "N0CALL", "APRS", b"=5230.10N/01323.60E-LiveWire", n_flags=50)
+    audio = siggen.fsk_modulate(fs, _nrzi(frame_bits), 1202.0,
+                                1200.0, 2200.0).real
+    audio = np.concatenate([audio, np.zeros(4000, np.float32)])
+    s16 = np.clip(0.8 * audio * 32767.0, -32768, 32767).astype(np.int16)
+
+    path = str(tmp_path / "afsk.fifo")
+    os.mkfifo(path)
+
+    def antenna():
+        with open(path, "wb") as f:
+            f.write(s16.tobytes())
+
+    t = threading.Thread(target=antenna)
+    t.start()
+    store = aprs_service.main(["--live", f"fifo://{path}",
+                               "--rate", str(fs), "--port", "0",
+                               "--block-size", "12000"])
+    t.join()
+    spots = store.spots()
+    assert spots and abs(spots[0]["latitude"] - (52 + 30.10 / 60)) < 1e-4
+    assert spots[0]["comment"] == "LiveWire"
+
+
+def test_scanner_live_bf16(tmp_path):
+    """scanner --live --bf16: the u8 wire streams as bf16 planes straight
+    into the PFB front end from a live FIFO."""
+    import os
+
+    from libsdr_tpu.apps import scanner
+    from tests.test_apps import _pocsag_iq
+
+    m = 16
+    ch_bw = 25_000.0
+    fs = m * ch_bw
+    n = int(fs * 1.0)
+    narrow = _pocsag_iq(ch_bw, text="BF16 LIVE", address=33)
+    t_ax = np.arange(n) / fs
+    idx = np.minimum((np.arange(n) / m).astype(np.int64), len(narrow) - 1)
+    wide = (0.6 * narrow[idx] * np.exp(2j * np.pi * (2 * fs / m) * t_ax)
+            ).astype(np.complex64)
+    inter = np.empty(2 * n, np.float32)
+    inter[0::2], inter[1::2] = wide.real, wide.imag
+    u8 = np.clip(np.round(inter * 128.0 + 128.0), 0, 255).astype(np.uint8)
+
+    path = str(tmp_path / "wire.fifo")
+    os.mkfifo(path)
+
+    def antenna():
+        with open(path, "wb") as f:
+            f.write(u8.tobytes())
+
+    t = threading.Thread(target=antenna)
+    t.start()
+    found = scanner.main(["--live", f"fifo://{path}", "--rate", str(fs),
+                          "--channels", str(m), "--bf16"])
+    t.join()
+    assert 2 in found
+    assert found[2][0].address == 33
+    assert found[2][0].as_text().startswith("BF16 LIVE")
