@@ -298,12 +298,14 @@ def scan_multimode_sharded(iq: np.ndarray, fs: float, n_channels: int,
 
 
 def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
-                   mode_map: Dict[int, str], block: int = None
-                   ) -> Dict[int, Tuple[str, object]]:
+                   mode_map: Dict[int, str], block: int = None,
+                   blocks=None) -> Dict[int, Tuple[str, object]]:
     """Run the bank over a capture; returns {channel: (mode, decoded)}.
 
     decoded: POCSAG message list / AX.25+APRS message list / RTTY text /
-    PSK31 text, per the channel's mode."""
+    PSK31 text, per the channel's mode.  ``blocks``: optional callable
+    ``block_size -> iterator`` replacing the ``iq`` capture (e.g. a live
+    wire via ``io.live.stream_live_iq``)."""
     import math
 
     from libsdr_tpu.apps.scanner import pick_block
@@ -314,8 +316,8 @@ def scan_multimode(iq: np.ndarray, fs: float, n_channels: int,
                        quantum=math.lcm(16, _t_quantum(fs, m,
                                                        mode_map.values())))
     step, init_carry, groups = build_bank(fs, block, m, mode_map)
-    return _run_bank(stream_blocks(iq, block), step, init_carry(),
-                     cplx.as_block, groups)
+    src = blocks(block) if blocks is not None else stream_blocks(iq, block)
+    return _run_bank(src, step, init_carry(), cplx.as_block, groups)
 
 
 def _parse_map(s: str) -> Dict[int, str]:
@@ -347,7 +349,13 @@ def main(argv=None):
                     help="stream the u8 wire format as bfloat16 planes "
                          "straight into the PFB kernel — lossless for "
                          "8-bit sources, halves ingest+HBM traffic "
-                         "(--raw uint8 sources with --pattern only)")
+                         "(--raw uint8 / --live sources)")
+    ap.add_argument("--live",
+                    help="live u8 IQ wire instead of a file: tcp://host:port "
+                         "(rtl_tcp pull), tcp-listen://:port, udp://:port, "
+                         "fifo:///path — requires --rate")
+    ap.add_argument("--live-timeout", type=float, default=None,
+                    help="stop after this many seconds with no wire data")
     args = ap.parse_args(argv)
     sdrlog.set_level(args.log_level)
     if bool(args.map) == bool(args.pattern):
@@ -358,7 +366,37 @@ def main(argv=None):
         if bad or not pat:
             raise SystemExit(f"--pattern modes must be in {'/'.join(MODES)}")
 
-    if args.bf16:
+    if args.live:
+        if not args.rate:
+            raise SystemExit("--live requires --rate")
+        from libsdr_tpu.io.live import (LiveStats, stream_live_iq,
+                                        stream_live_iq_bf16)
+        fs = args.rate
+        stats = LiveStats()
+        if args.bf16:
+            import jax.numpy as jnp
+            blocks = lambda b: stream_live_iq_bf16(  # noqa: E731
+                args.live, b, stats=stats, timeout=args.live_timeout)
+            plane_dtype = jnp.bfloat16
+        else:
+            blocks = lambda b: stream_live_iq(  # noqa: E731
+                args.live, b, stats=stats, timeout=args.live_timeout)
+            plane_dtype = None
+        if args.pattern:
+            found = scan_multimode_sharded(None, fs, args.channels, pat,
+                                           plane_dtype=plane_dtype,
+                                           blocks=blocks)
+        else:
+            if plane_dtype is not None:
+                raise SystemExit("--bf16 --live runs the sharded bank: "
+                                 "use --pattern")
+            found = scan_multimode(None, fs, args.channels,
+                                   _parse_map(args.map), blocks=blocks)
+        print(f"live: {stats.bytes_in} bytes in, "
+              f"{stats.bytes_dropped} dropped "
+              f"({100 * stats.drop_fraction:.2f}%), "
+              f"{stats.sustained_msps():.2f} Msps sustained")
+    elif args.bf16:
         if not args.pattern:
             raise SystemExit("--bf16 runs the sharded bank: use --pattern")
         if not args.raw or np.dtype(args.raw_dtype) != np.uint8:

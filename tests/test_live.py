@@ -419,3 +419,36 @@ def test_scanner_live_bf16(tmp_path):
     assert 2 in found
     assert found[2][0].address == 33
     assert found[2][0].as_text().startswith("BF16 LIVE")
+
+
+def test_multimode_live_fifo(tmp_path):
+    """Multimode bank from a live wire: a mixed POCSAG+RTTY band streamed
+    over a FIFO decodes both channels (--map single-chip path)."""
+    import os
+
+    from libsdr_tpu.apps import multimode
+    from tests.test_apps import make_mixed_band
+
+    m = 16
+    fs = m * 24_000.0
+    active = {2: "pocsag", 9: "rtty"}
+    wide = make_mixed_band(active, m)
+    inter = np.empty(2 * len(wide), np.float32)
+    inter[0::2], inter[1::2] = wide.real, wide.imag
+    u8 = np.clip(np.round(inter * 128.0 + 128.0), 0, 255).astype(np.uint8)
+
+    path = str(tmp_path / "band.fifo")
+    os.mkfifo(path)
+
+    def antenna():
+        with open(path, "wb") as f:
+            f.write(u8.tobytes())
+
+    t = threading.Thread(target=antenna)
+    t.start()
+    found = multimode.main(["--live", f"fifo://{path}", "--rate", str(fs),
+                            "--channels", str(m),
+                            "--map", "2:pocsag,9:rtty"])
+    t.join()
+    assert found[2][0] == "pocsag" and found[2][1][0].address == 99
+    assert found[9][0] == "rtty" and "RY MULTI" in found[9][1]
