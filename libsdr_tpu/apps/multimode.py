@@ -49,6 +49,7 @@ from libsdr_tpu.decode import (AX25Decoder, BaudotDecoder,
                                pocsag_decode_bits)
 from libsdr_tpu.ops import (BPSK31, ASKDetector, BitStream, FMDemod,
                             FSKDetector, IQBaseBand, USBDemod)
+from libsdr_tpu.ops.bitsync import apply_mode_chains  # noqa: F401
 from libsdr_tpu.ops.channelizer import Channelizer
 from libsdr_tpu.utils import logging as sdrlog
 from libsdr_tpu.utils.options import add_source_args, common_parser, load_source
@@ -114,53 +115,8 @@ def _build_parts(fs: float, block: int, n_channels: int,
     return chan, sub, groups, windows
 
 
-def apply_mode_chains(sub: Dict[str, Pipeline], carries, y, groups,
-                      windows):
-    """Run every mode pipeline on its channel group of the complex bank
-    ``y``, merging all final BitStream PLLs into ONE banked Pallas launch
-    (ops/bitsync.bitstream_bank_apply).  The PLLs are time-sequential, so
-    N per-mode launches pay N serial passes over T; stacked lanes pay one —
-    the bank's profiled wall (tools/profile_multimode.py).  Falls back to
-    per-mode apply off-TPU, bit-identically.  Returns (outs, new_carries);
-    shared by the single-chip bank and the shard_map body
-    (parallel/multimode.py)."""
-    from libsdr_tpu.ops.bitsync import bitstream_bank_apply
-
-    def take_rows(bank, idxs):
-        # Round-robin mode patterns make each group an arithmetic
-        # progression: a strided basic slice instead of a row gather.
-        if len(idxs) > 1:
-            d = np.diff(idxs)
-            if np.all(d == d[0]) and d[0] > 0:
-                s, st = int(idxs[0]), int(d[0])
-                return bank[s:s + st * len(idxs):st]
-        return bank[idxs]
-
-    outs, new = {}, {}
-    banked = []   # (mode, bitstream, bs_carry, symbols, new_pre_carries)
-    for mode, p in sub.items():
-        pc = carries[mode]
-        if isinstance(p.stages[-1], BitStream):
-            xm = take_rows(y, groups[mode])
-            new_pre = []
-            for stage, c in zip(p.stages[:-1], pc[:-1]):
-                c, xm = stage.apply(c, xm)
-                new_pre.append(c)
-            banked.append((mode, p.stages[-1], pc[-1], xm, tuple(new_pre)))
-        else:
-            cg, bits = p.apply(pc, take_rows(y, groups[mode]))
-            new[mode] = cg
-            outs[mode] = (compact_windows(bits, windows[mode])
-                          if windows[mode] else bits)
-    if banked:
-        results = bitstream_bank_apply(
-            [(bs, c, xm) for _, bs, c, xm, _ in banked])
-        for (mode, _, _, _, new_pre), (nc, bits) in zip(banked, results):
-            new[mode] = new_pre + (nc,)
-            outs[mode] = (compact_windows(bits, windows[mode])
-                          if windows[mode] else bits)
-    return outs, new
-
+# apply_mode_chains lives in ops/bitsync (library layer) and is
+# re-exported here for backward compatibility.
 
 def build_bank(fs: float, block: int, n_channels: int,
                mode_map: Dict[int, str]):

@@ -158,9 +158,9 @@ class Throughput:
 
     ``add`` counts samples processed; ``add_dropped`` counts samples a live
     source discarded because the pipeline fell behind the wire
-    (back-pressure-by-drop).  ``sustained_msps`` is the delivered rate —
-    the realtime design-point metric: a healthy live deployment shows
-    ``drop_fraction == 0`` and ``sustained_msps`` >= the wire rate."""
+    (back-pressure-by-drop).  The realtime design point: a healthy live
+    deployment shows ``drop_fraction == 0`` with ``msps`` >= the wire
+    rate."""
 
     def __init__(self) -> None:
         self.samples = 0
@@ -173,10 +173,12 @@ class Throughput:
     def add_dropped(self, n: int) -> None:
         self.dropped += n
 
-    def update_from(self, stats) -> None:
+    def update_from(self, stats, bytes_per_sample: int = 2) -> None:
         """Absorb a live source's :class:`libsdr_tpu.io.live.LiveStats`
-        (drops are totals there, not increments)."""
-        self.dropped = stats.bytes_dropped // 2  # u8 IQ frames -> samples
+        (drops are totals there, not increments).  ``bytes_per_sample``:
+        wire bytes per sample — 2 for u8 IQ, 4 for s16 IQ, 2 for s16
+        mono audio."""
+        self.dropped = stats.bytes_dropped // bytes_per_sample
 
     @property
     def msps(self) -> float:
@@ -184,17 +186,13 @@ class Throughput:
         return self.samples / dt / 1e6 if dt > 0 else float("inf")
 
     @property
-    def sustained_msps(self) -> float:
-        """Delivered (non-dropped) complex Msamples/s since construction."""
-        dt = time.perf_counter() - self.t0
-        return self.samples / dt / 1e6 if dt > 0 else 0.0
-
-    @property
     def drop_fraction(self) -> float:
         total = self.samples + self.dropped
         return self.dropped / total if total else 0.0
 
     def report(self) -> str:
-        return (f"{self.sustained_msps:.2f} Msps sustained, "
+        sustained = self.samples / max(
+            time.perf_counter() - self.t0, 1e-9) / 1e6
+        return (f"{sustained:.2f} Msps sustained, "
                 f"{self.dropped} samples dropped "
                 f"({100 * self.drop_fraction:.2f}%)")

@@ -87,20 +87,28 @@ def open_live_pump(url: str, ring: RingBuffer, frame: int = 2,
 
 def _block_loop(ring: RingBuffer, pump: LivePump, block_size: int,
                 itemsize: int, convert, stats: Optional[LiveStats],
-                timeout: Optional[float], to_block):
+                timeout: Optional[float], to_block,
+                items_per_frame: int = 2):
     """Shared take-and-convert loop (mirrors io.ingest.stream_raw_iq's EOS
-    handling, plus idle-timeout and live drop stats)."""
-    bytes_per_block = block_size * 2 * itemsize
+    handling, plus idle-timeout and live drop stats).
+
+    ``items_per_frame``: wire items per output sample — 2 for interleaved
+    IQ, 1 for mono audio.  ``timeout`` is seconds with NO WIRE BYTES (it
+    watches the pump's bytes_in counter, so a healthy low-rate wire that
+    takes longer than ``timeout`` to fill one block is NOT killed)."""
+    frame = items_per_frame * itemsize
+    bytes_per_block = block_size * frame
     if stats is not None:
         stats.t0 = time.perf_counter()
-    last_data = time.perf_counter()
+    last_progress = time.perf_counter()
+    last_bytes_in = pump.bytes_in
     try:
         while True:
             raw = ring.take(bytes_per_block)
             if raw is None:
                 if ring.eos:
                     n = ring.available
-                    n -= n % (2 * itemsize)
+                    n -= n % frame
                     if n == 0:
                         break
                     raw = ring.take(n)
@@ -108,12 +116,15 @@ def _block_loop(ring: RingBuffer, pump: LivePump, block_size: int,
                         break
                     yield to_block(convert(raw), pad_to=block_size)
                     break
-                if (timeout is not None
-                        and time.perf_counter() - last_data > timeout):
-                    break
+                if timeout is not None:
+                    got = pump.bytes_in
+                    if got != last_bytes_in:
+                        last_bytes_in = got
+                        last_progress = time.perf_counter()
+                    elif time.perf_counter() - last_progress > timeout:
+                        break
                 time.sleep(0.0005)
                 continue
-            last_data = time.perf_counter()
             if stats is not None:
                 stats.bytes_in = pump.bytes_in
                 stats.bytes_dropped = pump.bytes_dropped
@@ -220,8 +231,7 @@ def stream_live_audio(url: str, block_size: int, dtype=np.int16,
     else:
         raise ValueError(f"stream_live_audio: unsupported dtype {dt}")
     itemsize = dt.itemsize
-    bytes_per_block = block_size * itemsize
-    ring = RingBuffer(max(ring_bytes, 4 * bytes_per_block))
+    ring = RingBuffer(max(ring_bytes, 4 * block_size * itemsize))
     pump = open_live_pump(url, ring, frame=itemsize)
 
     def to_block(blk, pad_to=None):
@@ -231,40 +241,8 @@ def stream_live_audio(url: str, block_size: int, dtype=np.int16,
             return z
         return blk
 
-    def loop():
-        if stats is not None:
-            stats.t0 = time.perf_counter()
-        last = time.perf_counter()
-        try:
-            while True:
-                raw = ring.take(bytes_per_block)
-                if raw is None:
-                    if ring.eos:
-                        n = ring.available - ring.available % itemsize
-                        if n:
-                            raw = ring.take(n)
-                            if raw is not None and len(raw):
-                                yield to_block(conv(raw), pad_to=block_size)
-                        break
-                    if (timeout is not None
-                            and time.perf_counter() - last > timeout):
-                        break
-                    time.sleep(0.0005)
-                    continue
-                last = time.perf_counter()
-                if stats is not None:
-                    stats.bytes_in = pump.bytes_in
-                    stats.bytes_dropped = pump.bytes_dropped
-                    stats.blocks += 1
-                yield conv(raw)
-        finally:
-            pump.stop()
-            if stats is not None:
-                stats.bytes_in = pump.bytes_in
-                stats.bytes_dropped = pump.bytes_dropped
-            ring.close()
-
-    return loop()
+    return _block_loop(ring, pump, block_size, itemsize, conv, stats,
+                       timeout, to_block, items_per_frame=1)
 
 
 # ---------------------------------------------------------------------------

@@ -431,23 +431,30 @@ class LivePump:
         import threading
 
         def run():
-            buf = bytearray(chunk + self._frame)
-            mv = memoryview(buf)
-            rem = 0
-            while not self._stop:
-                got = read_fn(mv[rem:rem + chunk])
-                if got == -2:
-                    continue
-                if got == 0:
-                    break
-                have = rem + got
-                whole = (have // self._frame) * self._frame
-                if whole:
-                    self._py_put(mv[:whole])
-                rem = have - whole
-                if rem:
-                    mv[:rem] = mv[whole:have]
-            self.ring.set_eos()
+            # set_eos in a finally: if read_fn dies on an unexpected
+            # OSError the consumer must see end-of-stream, not spin.
+            try:
+                buf = bytearray(chunk + self._frame)
+                mv = memoryview(buf)
+                rem = 0
+                while not self._stop:
+                    try:
+                        got = read_fn(mv[rem:rem + chunk])
+                    except OSError:
+                        break
+                    if got == -2:
+                        continue
+                    if got == 0:
+                        break
+                    have = rem + got
+                    whole = (have // self._frame) * self._frame
+                    if whole:
+                        self._py_put(mv[:whole])
+                    rem = have - whole
+                    if rem:
+                        mv[:rem] = mv[whole:have]
+            finally:
+                self.ring.set_eos()
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()

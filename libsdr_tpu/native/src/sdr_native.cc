@@ -220,6 +220,7 @@ void pump_stop(Pump *p) {
 #include <arpa/inet.h>
 #include <errno.h>
 #include <fcntl.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <poll.h>
@@ -318,33 +319,40 @@ static LivePump *live_pump_new(Ring *ring, int64_t chunk, int64_t frame) {
 }
 
 // TCP client (the rtl_tcp topology: the SDR host runs the server, we
-// connect and read the sample stream).  Blocks up to timeout_ms for the
-// connect.  Returns nullptr on failure.
+// connect and read the sample stream).  Resolves hostnames via
+// getaddrinfo (IPv4 and IPv6); blocks up to timeout_ms per address for
+// the connect.  Returns nullptr on failure.
 LivePump *live_pump_tcp_connect(const char *host, int port, Ring *ring,
                                 int64_t chunk, int64_t frame,
                                 int timeout_ms) {
-  int fd = socket(AF_INET, SOCK_STREAM, 0);
-  if (fd < 0) return nullptr;
-  struct sockaddr_in a;
-  memset(&a, 0, sizeof(a));
-  a.sin_family = AF_INET;
-  a.sin_port = htons((uint16_t)port);
-  if (inet_pton(AF_INET, host, &a.sin_addr) != 1) { close(fd); return nullptr; }
-  fcntl(fd, F_SETFL, O_NONBLOCK);
-  int rc = connect(fd, (struct sockaddr *)&a, sizeof(a));
-  if (rc < 0 && errno == EINPROGRESS) {
-    struct pollfd pf = {fd, POLLOUT, 0};
-    if (poll(&pf, 1, timeout_ms > 0 ? timeout_ms : 5000) <= 0) {
-      close(fd);
-      return nullptr;
+  char portstr[16];
+  snprintf(portstr, sizeof(portstr), "%d", port);
+  struct addrinfo hints;
+  memset(&hints, 0, sizeof(hints));
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  struct addrinfo *res = nullptr;
+  if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res) return nullptr;
+  int fd = -1;
+  for (struct addrinfo *ai = res; ai; ai = ai->ai_next) {
+    fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+    if (fd < 0) continue;
+    fcntl(fd, F_SETFL, O_NONBLOCK);
+    int rc = connect(fd, ai->ai_addr, ai->ai_addrlen);
+    if (rc == 0) break;
+    if (rc < 0 && errno == EINPROGRESS) {
+      struct pollfd pf = {fd, POLLOUT, 0};
+      if (poll(&pf, 1, timeout_ms > 0 ? timeout_ms : 5000) > 0) {
+        int err = 0; socklen_t len = sizeof(err);
+        getsockopt(fd, SOL_SOCKET, SO_ERROR, &err, &len);
+        if (err == 0) break;
+      }
     }
-    int err = 0; socklen_t len = sizeof(err);
-    getsockopt(fd, SOL_SOCKET, SO_ERROR, &err, &len);
-    if (err != 0) { close(fd); return nullptr; }
-  } else if (rc < 0) {
     close(fd);
-    return nullptr;
+    fd = -1;
   }
+  freeaddrinfo(res);
+  if (fd < 0) return nullptr;
   LivePump *p = live_pump_new(ring, chunk, frame);
   p->fd = fd;
   p->thread = std::thread(live_pump_main, p);

@@ -188,15 +188,22 @@ class BitStream(Processor):
                                  jnp.moveaxis(valid, 0, -1))
 
 
+_BANK_PARAM_CACHE: dict = {}
+
+
 def bitstream_bank_supported(entries) -> bool:
     """True when the banked kernel can run this set: >= 2 configurations,
-    equal step counts, and the stacked lane bank passes the kernel gate at
-    the LARGEST majority window."""
+    channel-major layouts, equal step counts, every majority window in the
+    kernel's range (the per-lane departing-row select needs ell >= 2 like
+    the single-mode gate), and the stacked lane bank passing the kernel
+    gate at the LARGEST window."""
     from libsdr_tpu.ops.fir import kernel_dispatch
     from libsdr_tpu.ops.pallas_bitsync import bitsync_pallas_supported
 
     use_k, _ = kernel_dispatch()
     if not use_k or len(entries) < 2:
+        return False
+    if any(bs.time_major for bs, _, _ in entries):
         return False
     ts = {x.shape[-1] for _, _, x in entries}
     if len(ts) != 1:
@@ -204,6 +211,8 @@ def bitstream_bank_supported(entries) -> bool:
     t = ts.pop()
     m = sum(int(np.prod(x.shape[:-1])) for _, _, x in entries)
     m_pad = -(-m // 128) * 128
+    if min(bs.corr_len for bs, _, _ in entries) < 2:
+        return False
     ell = max(bs.corr_len for bs, _, _ in entries)
     return bitsync_pallas_supported(t, m_pad, ell)
 
@@ -227,6 +236,8 @@ def bitstream_bank_apply(entries):
     from libsdr_tpu.ops.fir import kernel_dispatch
     from libsdr_tpu.ops.pallas_bitsync import pll_pallas_bank
 
+    from libsdr_tpu.ops.pallas_fir_mxu import to_device_cached
+
     _, interp = kernel_dispatch()
     t = entries[0][2].shape[-1]
     ms = [int(np.prod(x.shape[:-1])) for _, _, x in entries]
@@ -234,17 +245,46 @@ def bitstream_bank_apply(entries):
     m_pad = -(-m // 128) * 128
     ells = tuple(sorted({bs.corr_len for bs, _, _ in entries}))
     nring = max(ells) - 1
-    f32, i32 = jnp.float32, jnp.int32
 
+    # Static per-lane parameter vectors: cached device constants (repo
+    # rule: rebuilding/uploading per call silently dominates kernels on
+    # the tunneled backend) — keyed by the full bank configuration so any
+    # retune/rebind rebuilds them.
+    cfg = tuple((bs.corr_len, bs.mode, float(bs._omega_min),
+                 float(bs._omega_max), float(bs._pll_gain), mi)
+                for (bs, _, _), mi in zip(entries, ms))
+
+    def build_params():
+        omin = np.zeros(m_pad, np.float32)
+        omax = np.zeros(m_pad, np.float32)
+        gain = np.zeros(m_pad, np.float32)
+        trans = np.zeros(m_pad, np.int32)
+        onehot = np.zeros((len(ells), m_pad), np.int32)
+        off = 0
+        for ell, mode, o_lo, o_hi, g, mi in cfg:
+            sl = slice(off, off + mi)
+            omin[sl], omax[sl], gain[sl] = o_lo, o_hi, g
+            trans[sl] = 1 if mode == TRANSITION else 0
+            onehot[ells.index(ell), sl] = 1
+            off += mi
+        # pad lanes: the first window length + sane omega bounds (their
+        # outputs and states are discarded)
+        if m_pad != m:
+            omin[m:], omax[m:] = cfg[0][2], cfg[0][3]
+            onehot[0, m:] = 1
+        return omin, omax, gain, trans, onehot
+
+    omin, omax, gain, trans, onehot = to_device_cached(
+        _BANK_PARAM_CACHE, ("bank", cfg, m_pad, ells), build_params)
+
+    f32, i32 = jnp.float32, jnp.int32
     sym = jnp.concatenate(
         [jnp.moveaxis(x, -1, 0).reshape(t, mi)
          for (_, _, x), mi in zip(entries, ms)], axis=-1)
+    # Per-call STATE (carries) assembled by lane offset; the sign rings
+    # enter zero-padded above each lane's own window rows so the kernel's
+    # import-time window sum is per-lane correct.
     signs = jnp.zeros((nring, m), i32)
-    omin = jnp.zeros(m, f32)
-    omax = jnp.zeros(m, f32)
-    gain = jnp.zeros(m, f32)
-    trans = jnp.zeros(m, i32)
-    onehot = jnp.zeros((len(ells), m), i32)
     sym_sum = jnp.zeros(m, i32)
     phase = jnp.zeros(m, f32)
     omega = jnp.zeros(m, f32)
@@ -256,31 +296,22 @@ def bitstream_bank_apply(entries):
         # lane's previous signs occupy the LAST li rows (oldest first)
         signs = signs.at[nring - li:, sl].set(
             jnp.moveaxis(c["signs"], -1, 0).reshape(li, mi))
-        omin = omin.at[sl].set(bs._omega_min)
-        omax = omax.at[sl].set(bs._omega_max)
-        gain = gain.at[sl].set(bs._pll_gain)
-        trans = trans.at[sl].set(1 if bs.mode == TRANSITION else 0)
-        onehot = onehot.at[ells.index(bs.corr_len), sl].set(1)
         sym_sum = sym_sum.at[sl].set(c["sym_sum"].reshape(mi))
         phase = phase.at[sl].set(c["phase"].reshape(mi))
         omega = omega.at[sl].set(c["omega"].reshape(mi))
         last_bits = last_bits.at[sl].set(c["last_bits"].reshape(mi))
         off += mi
 
-    def pad(a, fill=0):
+    def pad(a):
         if m_pad == m:
             return a
         widths = [(0, 0)] * (a.ndim - 1) + [(0, m_pad - m)]
-        return jnp.pad(a, widths, constant_values=fill)
+        return jnp.pad(a, widths)
 
-    # pad lanes: zero symbols, the first window length, sane omega bounds
-    # (outputs and states of pad lanes are discarded)
     out, sg2, ss2, ph2, om2, lb2 = pll_pallas_bank(
         pad(sym), pad(signs), pad(sym_sum), pad(phase), pad(omega),
-        pad(last_bits), pad(omin, entries[0][0]._omega_min),
-        pad(omax, entries[0][0]._omega_max), pad(gain),
-        pad(trans), pad(onehot).at[0, m:].set(1) if m_pad != m else
-        pad(onehot), ells=ells, interpret=interp)
+        pad(last_bits), omin, omax, gain, trans, onehot,
+        ells=ells, interpret=interp)
 
     results = []
     off = 0
@@ -302,3 +333,51 @@ def bitstream_bank_apply(entries):
         results.append((new_c, Ragged(bits, valid)))
         off += mi
     return results
+
+
+def apply_mode_chains(sub, carries, y, groups,
+                      windows):
+    """Run every mode pipeline on its channel group of the complex bank
+    ``y``, merging all final BitStream PLLs into ONE banked Pallas launch
+    (ops/bitsync.bitstream_bank_apply).  The PLLs are time-sequential, so
+    N per-mode launches pay N serial passes over T; stacked lanes pay one —
+    the bank's profiled wall (tools/profile_multimode.py).  Falls back to
+    per-mode apply off-TPU, bit-identically.  Returns (outs, new_carries);
+    shared by the single-chip bank (apps/multimode.py)
+    and the shard_map body (parallel/multimode.py).  ``sub``:
+    {mode: bound Pipeline}; ``windows``: {mode: compaction window}."""
+    from libsdr_tpu.core.ragged import compact_windows
+    def take_rows(bank, idxs):
+        # Round-robin mode patterns make each group an arithmetic
+        # progression: a strided basic slice instead of a row gather.
+        if len(idxs) > 1:
+            d = np.diff(idxs)
+            if np.all(d == d[0]) and d[0] > 0:
+                s, st = int(idxs[0]), int(d[0])
+                return bank[s:s + st * len(idxs):st]
+        return bank[idxs]
+
+    outs, new = {}, {}
+    banked = []   # (mode, bitstream, bs_carry, symbols, new_pre_carries)
+    for mode, p in sub.items():
+        pc = carries[mode]
+        if isinstance(p.stages[-1], BitStream):
+            xm = take_rows(y, groups[mode])
+            new_pre = []
+            for stage, c in zip(p.stages[:-1], pc[:-1]):
+                c, xm = stage.apply(c, xm)
+                new_pre.append(c)
+            banked.append((mode, p.stages[-1], pc[-1], xm, tuple(new_pre)))
+        else:
+            cg, bits = p.apply(pc, take_rows(y, groups[mode]))
+            new[mode] = cg
+            outs[mode] = (compact_windows(bits, windows[mode])
+                          if windows[mode] else bits)
+    if banked:
+        results = bitstream_bank_apply(
+            [(bs, c, xm) for _, bs, c, xm, _ in banked])
+        for (mode, _, _, _, new_pre), (nc, bits) in zip(banked, results):
+            new[mode] = new_pre + (nc,)
+            outs[mode] = (compact_windows(bits, windows[mode])
+                          if windows[mode] else bits)
+    return outs, new

@@ -135,8 +135,8 @@ def build_multimode_step(mesh: Mesh, n_channels: int, block: int,
             y = y.map(lambda a: jax.lax.all_to_all(
                 a, axis, split_axis=0, concat_axis=1, tiled=True))
         # Per-mode chains with all BitStream PLLs merged into ONE banked
-        # Pallas launch per device (apps/multimode.apply_mode_chains).
-        from libsdr_tpu.apps.multimode import apply_mode_chains
+        # Pallas launch per device (ops/bitsync.apply_mode_chains).
+        from libsdr_tpu.ops.bitsync import apply_mode_chains
         outs, new_c = apply_mode_chains(sub_l, carries, y, loc_groups,
                                         windows)
         return (new_hist, new_c), outs

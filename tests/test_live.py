@@ -452,3 +452,68 @@ def test_multimode_live_fifo(tmp_path):
     t.join()
     assert found[2][0] == "pocsag" and found[2][1][0].address == 99
     assert found[9][0] == "rtty" and "RY MULTI" in found[9][1]
+
+
+def test_timeout_watches_wire_progress_not_blocks(rng):
+    """--live-timeout must measure time with NO WIRE BYTES, not time since
+    the last full block: a healthy low-rate wire that needs longer than
+    the timeout to fill one block keeps streaming."""
+    from libsdr_tpu.io.live import LiveStats, stream_live_iq
+
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    data = rng.integers(0, 256, size=8192, dtype=np.uint8)
+
+    def server():
+        c, _ = srv.accept()
+        # trickle 1 KB every 150 ms: a 2048-sample (4 KB) block takes
+        # ~0.6 s > the 0.4 s timeout, but bytes never stop flowing
+        for off in range(0, len(data), 1024):
+            c.sendall(data[off:off + 1024].tobytes())
+            time.sleep(0.15)
+        c.close()
+        srv.close()
+
+    t = threading.Thread(target=server)
+    t.start()
+    stats = LiveStats()
+    blocks = list(stream_live_iq(f"tcp://127.0.0.1:{port}", 2048,
+                                 stats=stats, timeout=0.4))
+    t.join()
+    assert sum(len(b) for b in blocks) * 2 == len(data)
+    assert stats.bytes_in == len(data)
+
+
+def test_native_tcp_connect_resolves_hostname(rng):
+    """The native pump must resolve hostnames (getaddrinfo), not just
+    IPv4 literals — README documents tcp://radiohost:1234."""
+    from libsdr_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    data = rng.integers(0, 256, size=4096, dtype=np.uint8)
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def server():
+        c, _ = srv.accept()
+        c.sendall(data.tobytes())
+        c.close()
+        srv.close()
+
+    t = threading.Thread(target=server)
+    t.start()
+    ring = RingBuffer(1 << 20)
+    pump = LivePump.tcp_connect("localhost", port, ring)
+    t.join()
+    wait_until(lambda: ring.eos)
+    got = ring.take(len(data))
+    np.testing.assert_array_equal(got, data)
+    pump.stop()
+    ring.close()

@@ -108,10 +108,10 @@ def main() -> None:
     out["sum_mode_chains_ms"] = round(sum_modes * 1e3, 2)
 
     # Stage 2': ALL mode chains with the BitStream PLLs merged into one
-    # banked Pallas launch (apps/multimode.apply_mode_chains) — what the
+    # banked Pallas launch (ops/bitsync.apply_mode_chains) — what the
     # production step actually runs; the delta vs sum_mode_chains_ms is the
     # serial-PLL cost the bank removes.
-    from libsdr_tpu.apps.multimode import apply_mode_chains
+    from libsdr_tpu.ops.bitsync import apply_mode_chains
     carries0 = {mode: p.init_carry() for mode, p in sub.items()}
     mstep = jax.jit(lambda c, yy: apply_mode_chains(sub, c, yy, groups,
                                                     windows))
