@@ -308,6 +308,9 @@ def _kernel_bank(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
     omax = omax_v[...]
     gn = gain_v[...]
     tr = trans_v[...] > 0
+    # loop-invariant per-lane window masks, one (SUB, 128) tile per
+    # distinct ell — loaded once, not per unrolled step
+    msks = [msk[pl.ds(k * sub, sub), :] for k in range(len(ells))]
 
     def body(j, st):
         phase, omega, lb, last_sum, rs, rpos = st
@@ -329,8 +332,7 @@ def _kernel_bank(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
                 back = rpos - (ellk - 1)
                 back = jnp.where(back < 0, back + nring, back)
                 rr_k = pl.multiple_of(back * sub, sub)
-                oldest = oldest + msk[pl.ds(k * sub, sub), :] * \
-                    ring[pl.ds(rr_k, sub), :]
+                oldest = oldest + msks[k] * ring[pl.ds(rr_k, sub), :]
             rr = pl.multiple_of(rpos * sub, sub)
             ring[pl.ds(rr, sub), :] = sign
             rs = s_now - oldest
