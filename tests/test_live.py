@@ -517,3 +517,59 @@ def test_native_tcp_connect_resolves_hostname(rng):
     np.testing.assert_array_equal(got, data)
     pump.stop()
     ring.close()
+
+
+def test_drop_contract_under_racing_consumer():
+    """Stress the SPSC ring + drop accounting under a real race: frames
+    carry sequence numbers, a slow consumer drains while the wire blasts.
+    Invariants: every surviving frame is intact (no byte shears), sequence
+    numbers are strictly increasing (drops are gaps, never reorders), and
+    kept + dropped == sent exactly."""
+    frame = 4  # u16 seq + u16 checksum-ish complement
+    n_frames = 200_000
+    seq = np.arange(n_frames, dtype=np.uint16)
+    wire = np.empty((n_frames, 2), np.uint16)
+    wire[:, 0] = seq
+    wire[:, 1] = ~seq
+    data = wire.view(np.uint8).reshape(-1)
+
+    ring = RingBuffer(1 << 14)
+    pump = LivePump.tcp_listen(0, ring, frame=frame, chunk=1 << 12)
+    port = pump.port
+
+    kept = []
+
+    def writer():
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(data.tobytes())
+
+    t = threading.Thread(target=writer)
+    t.start()
+    # racing consumer: drain in odd-sized frame-multiples with tiny naps
+    while True:
+        out = ring.take(37 * frame)
+        if out is None:
+            if ring.eos:
+                n = ring.available - ring.available % frame
+                if n:
+                    out = ring.take(n)
+                    if out is not None:
+                        kept.append(out)
+                break
+            time.sleep(0.0002)
+            continue
+        kept.append(out)
+    t.join()
+
+    got = np.concatenate(kept).view(np.uint16).reshape(-1, 2)
+    assert np.array_equal(got[:, 1], (~got[:, 0]).astype(np.uint16)), \
+        "frame sheared across a drop boundary"
+    seqs = got[:, 0].astype(np.int64)
+    # strictly increasing (uint16 wraps every 65536 frames; unwrap)
+    unwrapped = seqs + 65536 * np.cumsum(
+        np.concatenate([[0], (np.diff(seqs) < -32768).astype(np.int64)]))
+    assert np.all(np.diff(unwrapped) > 0), "reordered or duplicated frames"
+    assert pump.bytes_in == len(data)
+    assert pump.bytes_dropped == len(data) - got.shape[0] * frame
+    pump.stop()
+    ring.close()

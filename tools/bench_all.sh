@@ -31,7 +31,7 @@ run() {  # run <timeout_s> <name> <cmd...>
 }
 
 if [ "${1:-}" != "quick" ]; then
-  run 900 smoke $PY tools/tpu_check.py
+  run 1500 smoke $PY tools/tpu_check.py
 fi
 run 600 headline      $PY bench.py
 run 600 rx_modes      $PY tools/bench_rx_modes.py
