@@ -47,6 +47,7 @@ class LiveStats:
     bytes_dropped: int = 0
     blocks: int = 0
     t0: float = 0.0
+    port: int = -1   # bound port for listen/udp sources (resolves :0)
 
     @property
     def drop_fraction(self) -> float:
@@ -169,6 +170,8 @@ def stream_live_iq(url: str, block_size: int, dtype=np.uint8,
 
     ring = RingBuffer(max(ring_bytes, 4 * block_size * frame))
     pump = open_live_pump(url, ring, frame=frame)
+    if stats is not None:
+        stats.port = pump.port
     return _block_loop(ring, pump, block_size, itemsize, convert, stats,
                        timeout, to_block)
 
@@ -201,6 +204,8 @@ def stream_live_iq_bf16(url: str, block_size: int,
 
     ring = RingBuffer(max(ring_bytes, 8 * block_size))
     pump = open_live_pump(url, ring, frame=2)
+    if stats is not None:
+        stats.port = pump.port
     return _block_loop(ring, pump, block_size, 1, convert, stats, timeout,
                        to_block)
 
@@ -233,6 +238,8 @@ def stream_live_audio(url: str, block_size: int, dtype=np.int16,
     itemsize = dt.itemsize
     ring = RingBuffer(max(ring_bytes, 4 * block_size * itemsize))
     pump = open_live_pump(url, ring, frame=itemsize)
+    if stats is not None:
+        stats.port = pump.port
 
     def to_block(blk, pad_to=None):
         if pad_to is not None and len(blk) < pad_to:

@@ -118,10 +118,8 @@ def test_udp_datagrams(rng):
 
     stats = LiveStats()
     gen = stream_live_iq("udp://:0", 1024, stats=stats, timeout=1.0)
-    # The pump inside the generator binds an ephemeral port; reach in via
-    # the generator's closure to learn it.
-    pump = gen.gi_frame.f_locals["pump"]
-    port = pump.port
+    port = stats.port   # ephemeral :0 bind resolved by the pump
+    assert port > 0
     data = rng.integers(0, 256, size=8192, dtype=np.uint8)
     s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     for off in range(0, len(data), 2048):
