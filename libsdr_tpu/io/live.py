@@ -16,7 +16,9 @@ URL forms accepted by :func:`stream_live_iq`:
 - ``tcp://host:port``   — connect and pull (the rtl_tcp topology)
 - ``tcp-listen://:port``— accept one pushing client (port 0 = ephemeral)
 - ``udp://:port``       — datagram sink
-- ``fifo:///path``      — named local pipe
+- ``fifo:///path``      — named local pipe (``fifo:///dev/stdin`` reads a
+  shell pipeline — the reference's StreamSource-on-istream contract,
+  reference: src/utils.hh:524-588)
 
 :class:`RTLTCPSource` speaks the actual rtl_tcp protocol (12-byte ``RTL0``
 header, big-endian ``(cmd:u8, value:u32)`` control messages) so a stock

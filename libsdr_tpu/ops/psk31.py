@@ -177,7 +177,9 @@ class BPSK31(Processor):
 
         xr = jnp.moveaxis(x.re, -1, 0)
         xi = jnp.moveaxis(x.im, -1, 0)
-        # unroll=4: see ops/bitsync.py (sequential-loop overhead dominates).
-        carry, (bits, valid) = jax.lax.scan(step, carry, (xr, xi), unroll=4)
+        # unroll=8: sequential-loop overhead dominates this scan (see
+        # ops/bitsync.py); the body is register-light after the one-hot
+        # matmul/taps-roll rewrite, so the deeper unroll amortizes more.
+        carry, (bits, valid) = jax.lax.scan(step, carry, (xr, xi), unroll=8)
         return carry, Ragged(jnp.moveaxis(bits, 0, -1),
                              jnp.moveaxis(valid, 0, -1))
