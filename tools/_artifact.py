@@ -13,11 +13,17 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def write_artifact(prefix: str, payload: dict) -> str:
     rnd = os.environ.get("LIBSDR_ROUND", "04")
     path = os.path.join(ROOT, f"{prefix}_r{rnd}.json")
-    try:
-        import jax
-        payload = dict(payload, platform=jax.default_backend())
-    except Exception:
-        pass
+    import sys
+    # Record the platform ONLY if a backend is already initialized —
+    # initializing one here would hang the artifact write on a wedged
+    # tunnel (and jax-free host benches have no platform to record).
+    xb = sys.modules.get("jax._src.xla_bridge")
+    if xb is not None and getattr(xb, "_backends", None):
+        try:
+            payload = dict(payload,
+                           platform=sys.modules["jax"].default_backend())
+        except Exception:
+            pass
     if payload.get("platform") == "cpu" and not os.environ.get(
             "LIBSDR_ALLOW_CPU_ARTIFACT"):
         # A CPU sanity run must never clobber a hardware artifact (the r3

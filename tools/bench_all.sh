@@ -39,6 +39,7 @@ run 600 channelizer   $PY tools/bench_channelizer.py
 run 900 decoder_bank  $PY tools/bench_decoder_bank.py --channels 1024
 run 600 multimode     $PY tools/bench_multimode.py
 run 600 streaming     $PY tools/bench_streaming.py
+run 300 live_ingest   $PY tools/bench_live_ingest.py
 run 600 scanner_prof  $PY tools/profile_scanner.py
 run 600 ax25_prof     $PY tools/profile_ax25.py
 run 600 multimode_prof $PY tools/profile_multimode.py
