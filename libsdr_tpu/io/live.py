@@ -88,19 +88,53 @@ def open_live_pump(url: str, ring: RingBuffer, frame: int = 2,
     raise ValueError(f"unknown live source kind {kind!r} in {url!r}")
 
 
+def _pad_tail(blk: np.ndarray, pad_to: int) -> np.ndarray:
+    """Zero-pad a 1-D final partial block to the pipeline's block size."""
+    if len(blk) >= pad_to:
+        return blk
+    z = np.zeros(pad_to, blk.dtype)
+    z[:len(blk)] = blk
+    return z
+
+
+def _u8_block_to_c64(raw: np.ndarray) -> np.ndarray:
+    """Interleaved u8 wire bytes -> one complex64 block."""
+    re, im = u8_iq_to_planar(raw.view(np.uint8))
+    return (re + 1j * im).astype(np.complex64)
+
+
 def _block_loop(ring: RingBuffer, pump: LivePump, block_size: int,
                 itemsize: int, convert, stats: Optional[LiveStats],
                 timeout: Optional[float], to_block,
-                items_per_frame: int = 2):
+                items_per_frame: int = 2, own: bool = True):
     """Shared take-and-convert loop (mirrors io.ingest.stream_raw_iq's EOS
     handling, plus idle-timeout and live drop stats).
 
     ``items_per_frame``: wire items per output sample — 2 for interleaved
     IQ, 1 for mono audio.  ``timeout`` is seconds with NO WIRE BYTES (it
     watches the pump's bytes_in counter, so a healthy low-rate wire that
-    takes longer than ``timeout`` to fill one block is NOT killed)."""
+    takes longer than ``timeout`` to fill one block is NOT killed).
+    ``own``: when False the pump/ring belong to the caller (e.g. a
+    reusable RTLTCPSource) and survive this generator — the loop only
+    stops yielding."""
     frame = items_per_frame * itemsize
     bytes_per_block = block_size * frame
+
+    def drain():
+        """End of stream (EOS or idle timeout): hand out what's buffered —
+        whole blocks first, never more than block_size per yield (the
+        downstream step is compiled for exactly that shape), then one
+        zero-padded partial."""
+        while True:
+            n = min(ring.available, bytes_per_block)
+            n -= n % frame
+            if n == 0:
+                return
+            raw = ring.take(n)
+            if raw is None or len(raw) == 0:
+                return
+            yield to_block(convert(raw), pad_to=block_size)
+
     if stats is not None:
         stats.t0 = time.perf_counter()
     last_progress = time.perf_counter()
@@ -110,14 +144,7 @@ def _block_loop(ring: RingBuffer, pump: LivePump, block_size: int,
             raw = ring.take(bytes_per_block)
             if raw is None:
                 if ring.eos:
-                    n = ring.available
-                    n -= n % frame
-                    if n == 0:
-                        break
-                    raw = ring.take(n)
-                    if raw is None or len(raw) == 0:
-                        break
-                    yield to_block(convert(raw), pad_to=block_size)
+                    yield from drain()
                     break
                 if timeout is not None:
                     got = pump.bytes_in
@@ -125,6 +152,8 @@ def _block_loop(ring: RingBuffer, pump: LivePump, block_size: int,
                         last_bytes_in = got
                         last_progress = time.perf_counter()
                     elif time.perf_counter() - last_progress > timeout:
+                        # idle stream: the buffered tail still decodes
+                        yield from drain()
                         break
                 time.sleep(0.0005)
                 continue
@@ -134,11 +163,15 @@ def _block_loop(ring: RingBuffer, pump: LivePump, block_size: int,
                 stats.blocks += 1
             yield to_block(convert(raw))
     finally:
-        pump.stop()
         if stats is not None:
             stats.bytes_in = pump.bytes_in
             stats.bytes_dropped = pump.bytes_dropped
-        ring.close()
+        if own:
+            pump.stop()
+            if stats is not None:
+                stats.bytes_in = pump.bytes_in
+                stats.bytes_dropped = pump.bytes_dropped
+            ring.close()
 
 
 def stream_live_iq(url: str, block_size: int, dtype=np.uint8,
@@ -159,16 +192,15 @@ def stream_live_iq(url: str, block_size: int, dtype=np.uint8,
     itemsize = dt.itemsize
     frame = 2 * itemsize
 
-    def convert(raw):
-        re, im = conv(raw.view(dt))
-        return (re + 1j * im).astype(np.complex64)
+    if dt == np.uint8:
+        convert = _u8_block_to_c64
+    else:
+        def convert(raw):
+            re, im = conv(raw.view(dt))
+            return (re + 1j * im).astype(np.complex64)
 
     def to_block(blk, pad_to=None):
-        if pad_to is not None and len(blk) < pad_to:
-            z = np.zeros(pad_to, np.complex64)
-            z[:len(blk)] = blk
-            return z
-        return blk
+        return blk if pad_to is None else _pad_tail(blk, pad_to)
 
     ring = RingBuffer(max(ring_bytes, 4 * block_size * frame))
     pump = open_live_pump(url, ring, frame=frame)
@@ -244,11 +276,7 @@ def stream_live_audio(url: str, block_size: int, dtype=np.int16,
         stats.port = pump.port
 
     def to_block(blk, pad_to=None):
-        if pad_to is not None and len(blk) < pad_to:
-            z = np.zeros(pad_to, np.float32)
-            z[:len(blk)] = blk
-            return z
-        return blk
+        return blk if pad_to is None else _pad_tail(blk, pad_to)
 
     return _block_loop(ring, pump, block_size, itemsize, conv, stats,
                        timeout, to_block, items_per_frame=1)
@@ -337,20 +365,20 @@ class RTLTCPSource:
 
     def blocks(self, block_size: int,
                timeout: Optional[float] = None) -> Iterator[np.ndarray]:
-        """Yield complex64 blocks from the live stream."""
-        def convert(raw):
-            re, im = u8_iq_to_planar(raw.view(np.uint8))
-            return (re + 1j * im).astype(np.complex64)
+        """Yield complex64 blocks from the live stream.
 
+        The pump and ring belong to THIS source (``own=False``): the
+        generator ending — timeout, break, garbage collection — leaves the
+        connection, ring, and tuner usable, so retune-then-restream works
+        (``for b in src.blocks(N, timeout=1): ...; src.set_frequency(f2);
+        src.blocks(N)``).  Only :meth:`close` tears the source down."""
         def to_block(blk, pad_to=None):
-            if pad_to is not None and len(blk) < pad_to:
-                z = np.zeros(pad_to, np.complex64)
-                z[:len(blk)] = blk
-                return z
-            return blk
+            return blk if pad_to is None else _pad_tail(blk, pad_to)
 
-        return _block_loop(self._ring, self._pump, block_size, 1, convert,
-                           self.stats, timeout, to_block)
+        return _block_loop(self._ring, self._pump, block_size, 1,
+                           _u8_block_to_c64, self.stats, timeout, to_block,
+                           own=False)
 
     def close(self) -> None:
         self._pump.stop()
+        self._ring.close()

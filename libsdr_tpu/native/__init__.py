@@ -174,6 +174,8 @@ class RingBuffer:
     def put(self, data: np.ndarray) -> int:
         data = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
         if self._lib is not None:
+            if self._h is None:
+                return 0
             return int(self._lib.ring_put(self._h, _ptr(data), len(data)))
         if len(self._buf) + len(data) > self.capacity:
             return 0
@@ -182,6 +184,13 @@ class RingBuffer:
 
     def take(self, n: int) -> Optional[np.ndarray]:
         if self._lib is not None:
+            # availability check BEFORE allocating: a polling consumer
+            # (io/live.py, 0.5 ms period) must not churn a block-sized
+            # np.empty per failed poll; the check is conservative under
+            # the racing producer (more data can only arrive).  A closed
+            # ring (_h None) never hands NULL to the C side.
+            if self._h is None or self.available < n:
+                return None
             out = np.empty(n, np.uint8)
             got = int(self._lib.ring_take(self._h, _ptr(out), n))
             return out if got == n else None
@@ -194,18 +203,23 @@ class RingBuffer:
     @property
     def available(self) -> int:
         if self._lib is not None:
+            if self._h is None:
+                return 0
             return int(self._lib.ring_available(self._h))
         return len(self._buf)
 
     @property
     def eos(self) -> bool:
         if self._lib is not None:
+            if self._h is None:
+                return True
             return bool(self._lib.ring_eos(self._h))
         return self._eos
 
     def set_eos(self) -> None:
         if self._lib is not None:
-            self._lib.ring_set_eos(self._h)
+            if self._h is not None:
+                self._lib.ring_set_eos(self._h)
         else:
             self._eos = True
 

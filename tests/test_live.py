@@ -120,16 +120,20 @@ def test_udp_datagrams(rng):
     gen = stream_live_iq("udp://:0", 1024, stats=stats, timeout=1.0)
     port = stats.port   # ephemeral :0 bind resolved by the pump
     assert port > 0
-    data = rng.integers(0, 256, size=8192, dtype=np.uint8)
+    # 4.5 blocks: UDP has no EOS, so the trailing half block must arrive
+    # via the idle-timeout drain (zero-padded), not be discarded.
+    data = rng.integers(0, 256, size=9216, dtype=np.uint8)
     s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     for off in range(0, len(data), 2048):
         s.sendto(data[off:off + 2048].tobytes(), ("127.0.0.1", port))
         time.sleep(0.005)  # keep loopback datagrams ordered/undropped
     blocks = list(gen)
     s.close()
-    got = np.concatenate(blocks) if blocks else np.zeros(0, np.complex64)
+    assert len(blocks) == 5  # 4 full + 1 timeout-drained padded partial
+    got = np.concatenate(blocks)
     want = u8_to_c64(data)
     np.testing.assert_array_equal(got[:len(want)], want)
+    np.testing.assert_array_equal(got[len(want):], 0)
     assert stats.bytes_in == len(data)
 
 
@@ -218,8 +222,10 @@ def test_drop_accounting_python_fallback(monkeypatch, rng):
 # rtl_tcp protocol client
 # ---------------------------------------------------------------------------
 
-def _fake_rtl_tcp_server(data: bytes, cmds: list):
-    """Minimal rtl_tcp: RTL0 header, stream `data`, record 5-byte commands."""
+def _fake_rtl_tcp_server(burst_a: bytes, burst_b: bytes, cmds: list):
+    """Minimal rtl_tcp: RTL0 header, stream burst_a once the ctor's
+    rate+freq commands arrive, burst_b after a RETUNE (3rd command), then
+    close — exercising the tune / stream / retune / stream cycle."""
     srv = socket.socket()
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind(("127.0.0.1", 0))
@@ -231,8 +237,8 @@ def _fake_rtl_tcp_server(data: bytes, cmds: list):
         c.sendall(b"RTL0" + struct.pack(">II", 5, 29))  # R820T, 29 gains
         c.settimeout(0.05)
         buf = b""
-        deadline = time.perf_counter() + 5.0
-        sent = False
+        deadline = time.perf_counter() + 15.0
+        sent_a = sent_b = False
         while time.perf_counter() < deadline:
             try:
                 got = c.recv(4096)
@@ -244,10 +250,13 @@ def _fake_rtl_tcp_server(data: bytes, cmds: list):
                     buf = buf[5:]
             except socket.timeout:
                 pass
-            if not sent and len(cmds) >= 2:  # rate+freq arrived: stream
-                c.sendall(data)
-                sent = True
-            if sent and len(cmds) >= 3:      # the test's set_frequency
+            if not sent_a and len(cmds) >= 2:  # rate+freq arrived: stream
+                c.sendall(burst_a)
+                sent_a = True
+            if not sent_b and len(cmds) >= 3:  # the retune
+                c.sendall(burst_b)
+                sent_b = True
+            if sent_b:
                 break
         c.close()
         srv.close()
@@ -257,31 +266,35 @@ def _fake_rtl_tcp_server(data: bytes, cmds: list):
     return port, t
 
 
-def test_rtl_tcp_source(rng):
+def test_rtl_tcp_source_retune_restream(rng):
+    """Tune -> stream -> retune -> stream again on ONE RTLTCPSource: the
+    first blocks() generator ending (idle timeout) must leave the
+    connection, ring, and tuner usable — only close() tears down."""
     from libsdr_tpu.io.live import RTLTCPSource
 
-    data = rng.integers(0, 256, size=16384, dtype=np.uint8)
+    burst_a = rng.integers(0, 256, size=8192, dtype=np.uint8)
+    burst_b = rng.integers(0, 256, size=8192, dtype=np.uint8)
     cmds: list = []
-    port, t = _fake_rtl_tcp_server(data.tobytes(), cmds)
+    port, t = _fake_rtl_tcp_server(burst_a.tobytes(), burst_b.tobytes(),
+                                   cmds)
 
     src = RTLTCPSource("127.0.0.1", port, sample_rate=1_024_000,
                        frequency=144_800_000)
     assert src.tuner_type == 5 and src.tuner_gain_count == 29
-    blocks = []
-    for blk in src.blocks(2048, timeout=2.0):
-        blocks.append(blk)
-        if sum(len(b) for b in blocks) * 2 >= len(data):
-            src.set_frequency(145_000_000)  # retune mid-stream
-            break
+    got_a = np.concatenate(list(src.blocks(2048, timeout=1.0)))
+    np.testing.assert_array_equal(got_a[:len(burst_a) // 2],
+                                  u8_to_c64(burst_a))
+    # the generator ended on timeout; the source must still be usable
+    src.set_frequency(145_000_000)      # retune -> server sends burst B
+    got_b = np.concatenate(list(src.blocks(2048, timeout=2.0)))
+    np.testing.assert_array_equal(got_b[:len(burst_b) // 2],
+                                  u8_to_c64(burst_b))
     src.close()
     t.join(timeout=5)
-    got = np.concatenate(blocks)
-    np.testing.assert_array_equal(got[:len(data) // 2], u8_to_c64(data))
-    # server recorded: set_sample_rate, set_frequency, retune
     assert (0x02, 1_024_000) in cmds
     assert (0x01, 144_800_000) in cmds
     assert (0x01, 145_000_000) in cmds
-    assert src.stats.bytes_in >= len(data) - 4096  # modulo in-flight tail
+    assert src.stats.bytes_in >= len(burst_a) + len(burst_b)
 
 
 # ---------------------------------------------------------------------------
