@@ -283,6 +283,88 @@ def stream_live_audio(url: str, block_size: int, dtype=np.int16,
 
 
 # ---------------------------------------------------------------------------
+# TX side: push samples INTO a wire (the ostream StreamSink analog,
+# reference: src/utils.hh:524-588 — here a socket/FIFO, completing the
+# live loopback: `tx --wire tcp://host:port` feeds `scanner --live
+# tcp-listen://:port` on another host/process)
+# ---------------------------------------------------------------------------
+
+def _open_wire_writer(url: str):
+    """Returns (send(bytes), close()) for a live URL (sender side)."""
+    import socket as _socket
+
+    kind, host, port = _parse_url(url)
+    if kind == "tcp":
+        s = _socket.create_connection((host, port), timeout=10)
+        return s.sendall, s.close
+    if kind == "tcp-listen":
+        ls = _socket.socket()
+        ls.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        ls.bind(("", port))
+        ls.listen(1)
+        c, _ = ls.accept()
+        ls.close()
+        return c.sendall, c.close
+    if kind == "udp":
+        s = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        dest = (host if host != "0.0.0.0" else "127.0.0.1", port)
+
+        def send(data, _mtu=32768):
+            for off in range(0, len(data), _mtu):
+                s.sendto(data[off:off + _mtu], dest)
+        return send, s.close
+    if kind == "fifo":
+        f = open(host, "wb")
+
+        def send(data):
+            f.write(data)
+            f.flush()
+        return send, f.close
+    raise ValueError(f"unknown live sink kind {kind!r} in {url!r}")
+
+
+def send_live_iq(url: str, iq: np.ndarray, rate: Optional[float] = None,
+                 chunk: int = 1 << 16) -> int:
+    """Push a complex IQ array to a live wire as the u8 rtl_sdr format
+    (x*128+128 interleaved).  ``rate``: throttle to that many complex
+    samples/s (realtime pacing for live demos); None = blast.  Returns
+    bytes sent."""
+    iq = np.asarray(iq)
+    inter = np.empty(2 * len(iq), np.float32)
+    inter[0::2], inter[1::2] = iq.real, iq.imag
+    u8 = np.clip(np.round(inter * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    return _send_wire(url, u8.tobytes(), rate, 2, chunk)
+
+
+def send_live_audio(url: str, audio: np.ndarray,
+                    rate: Optional[float] = None,
+                    chunk: int = 1 << 16) -> int:
+    """Push mono float audio to a live wire as s16 samples."""
+    s16 = np.clip(np.asarray(audio, np.float32) * 32767.0,
+                  -32768, 32767).astype(np.int16)
+    return _send_wire(url, s16.tobytes(), rate, 2, chunk)
+
+
+def _send_wire(url: str, data: bytes, rate: Optional[float],
+               bytes_per_sample: int, chunk: int) -> int:
+    send, close = _open_wire_writer(url)
+    try:
+        t0 = time.perf_counter()
+        sent = 0
+        for off in range(0, len(data), chunk):
+            send(data[off:off + chunk])
+            sent += min(chunk, len(data) - off)
+            if rate is not None:
+                ahead = (sent / bytes_per_sample / rate
+                         - (time.perf_counter() - t0))
+                if ahead > 0:
+                    time.sleep(ahead)
+        return sent
+    finally:
+        close()
+
+
+# ---------------------------------------------------------------------------
 # rtl_tcp client — the real-world remote-RTL front end
 # ---------------------------------------------------------------------------
 

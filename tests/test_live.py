@@ -584,3 +584,33 @@ def test_drop_contract_under_racing_consumer():
     assert pump.bytes_dropped == len(data) - got.shape[0] * frame
     pump.stop()
     ring.close()
+
+
+def test_tx_wire_to_live_rx_loopback():
+    """Full live TX -> RX loopback between the transmitter and a live
+    receiver: `tx pocsag --wire tcp://...` pushes the u8 rtl_sdr wire into
+    a tcp-listen live source, and the POCSAG chain decodes the page."""
+    from libsdr_tpu.apps import tx
+    from libsdr_tpu.apps.chains import pocsag_front_end, run_bit_chain
+    from libsdr_tpu.decode import pocsag_decode_bits
+    from libsdr_tpu.io.live import LiveStats, stream_live_iq
+
+    fs = 240_000.0
+    block = 48_000
+    stats = LiveStats()
+    gen = stream_live_iq("tcp-listen://:0", block, stats=stats)
+    port = stats.port
+    assert port > 0
+
+    t = threading.Thread(target=tx.main, args=(
+        ["pocsag", "--wire", f"tcp://127.0.0.1:{port}",
+         "--address", "77", "--text", "LOOPBACK", "--fs", str(fs)],))
+    t.start()
+    iq = np.concatenate(list(gen))
+    t.join()
+    assert stats.bytes_dropped == 0
+
+    fe = pocsag_front_end(fs, block, fc=0.0)
+    msgs = pocsag_decode_bits(run_bit_chain(fe, iq))
+    assert msgs and msgs[0].address == 77
+    assert msgs[0].as_text().startswith("LOOPBACK")
