@@ -70,6 +70,13 @@ def _probe_backend(timeout_s: float = 150.0, retries: int = 1) -> str | None:
     import subprocess
     import sys
 
+    relay = _relay_state()
+    if "upstream leg is dead" in relay:
+        # The relay's instant-EOF signature means device init will hang for
+        # the full timeout anyway — confirm with ONE short probe and emit
+        # the diagnostic fast instead of burning 2x150 s.
+        timeout_s, retries = 30.0, 0
+
     last = "unknown"
     for attempt in range(retries + 1):
         if attempt:
@@ -91,7 +98,33 @@ def _probe_backend(timeout_s: float = 150.0, retries: int = 1) -> str | None:
         tail = (r.stderr or r.stdout).strip().splitlines()
         last = "backend probe failed: " + (tail[-1] if tail else
                                            f"rc={r.returncode}")
-    return last
+    return last + "; " + relay
+
+
+def _relay_state(port: int = 2024) -> str:
+    """Direct evidence for the diagnostic JSON: the axon relay's TCP state
+    (its known failure signature — accepts TCP, recv returns empty
+    instantly — means the upstream leg is dead: an environment outage,
+    not a code regression)."""
+    import socket
+    try:
+        s = socket.socket()
+        s.settimeout(5)
+        s.connect(("127.0.0.1", port))
+        s.settimeout(3)
+        try:
+            data = s.recv(1)
+        except socket.timeout:
+            return f"relay :{port} TCP open, recv pending (upstream alive?)"
+        finally:
+            s.close()
+        if data == b"":
+            return (f"relay :{port} accepts TCP but recv returns b'' "
+                    "instantly - tunnel upstream leg is dead "
+                    "(environment outage)")
+        return f"relay :{port} returned data (unexpected)"
+    except Exception as e:
+        return f"relay :{port} connect failed: {e}"
 
 
 def main() -> None:
@@ -177,6 +210,7 @@ def main() -> None:
         "metric": "complex Msamples/s/chip through FIR+FM chain "
                   f"({n_channels} channels, order=64, decim=4; best of "
                   "f32 / bf16-plane ingest / fast-precision)",
+        "platform": jax.default_backend(),
         "value": round(msps, 2),
         "unit": "Msps",
         "vs_baseline": round(msps / baseline, 2),

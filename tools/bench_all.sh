@@ -33,7 +33,19 @@ run() {  # run <timeout_s> <name> <cmd...>
 if [ "${1:-}" != "quick" ]; then
   run 1500 smoke $PY tools/tpu_check.py
 fi
-run 600 headline      $PY bench.py
+# Headline: also persist the JSON line as an artifact.  The driver captures
+# BENCH_r*.json only at END of round — if the tunnel dies between a good
+# mid-round sweep and that capture (round 3's fate), this copy is the
+# evidence that survives.
+echo "=== headline ==="
+hl=$(timeout 600 $PY bench.py); hl_rc=$?
+echo "$hl"
+echo "=== headline exit=$hl_rc ==="
+hl_line=$(echo "$hl" | tail -1)
+if [ $hl_rc -eq 0 ] && echo "$hl_line" | grep -q '"value":' \
+   && ! echo "$hl_line" | grep -q '"platform": "cpu"'; then
+  echo "$hl_line" > "HEADLINE_r${LIBSDR_ROUND:-04}.json"
+fi
 run 600 rx_modes      $PY tools/bench_rx_modes.py
 run 600 channelizer   $PY tools/bench_channelizer.py
 run 900 decoder_bank  $PY tools/bench_decoder_bank.py --channels 1024
