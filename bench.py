@@ -71,11 +71,10 @@ def _probe_backend(timeout_s: float = 150.0, retries: int = 1) -> str | None:
     import sys
 
     relay = _relay_state()
-    if "upstream leg is dead" in relay:
-        # The relay's instant-EOF signature means device init will hang for
-        # the full timeout anyway — confirm with ONE short probe and emit
-        # the diagnostic fast instead of burning 2x150 s.
-        timeout_s, retries = 30.0, 0
+    # NOTE (2026-08-19): the relay's instant-EOF signature was observed
+    # while the backend WORKED (relay protocol changed), so it no longer
+    # shortens the probe — it is diagnostic evidence only; the subprocess
+    # jax probe is the ground truth either way.
 
     last = "unknown"
     for attempt in range(retries + 1):

@@ -46,7 +46,9 @@ def jax_alive(timeout_s: float = 90.0) -> bool:
             capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return False
-    return r.returncode == 0 and "axon" in r.stdout
+    # The plugin has reported its platform as both "axon" and (since
+    # 2026-08-19) "tpu"; either means the real chip answered.
+    return r.returncode == 0 and ("axon" in r.stdout or "tpu" in r.stdout)
 
 
 def main() -> None:
@@ -57,8 +59,10 @@ def main() -> None:
     args = ap.parse_args()
 
     relay = relay_state()
-    # The dead-upstream signature makes the (slow) jax probe redundant.
-    alive = False if relay == "dead-upstream" else jax_alive()
+    # 2026-08-19: the relay's instant-EOF signature was observed while the
+    # backend WORKED (relay protocol changed), so it is recorded as evidence
+    # only — the jax probe is always the ground truth.
+    alive = jax_alive()
     rec = {"ts": round(time.time(), 1),
            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "relay": relay, "tpu_usable": alive}
