@@ -118,6 +118,47 @@ def _build_parts(fs: float, block: int, n_channels: int,
 # apply_mode_chains lives in ops/bitsync (library layer) and is
 # re-exported here for backward compatibility.
 
+
+def pack_bank_outputs(outs):
+    """Concatenate every mode's Ragged planes into ONE flat u8 buffer.
+
+    A consumer then pays a single device->host fetch per block instead of
+    eight: on the tunneled backend each fetch costs a ~25 ms round trip
+    (measured, tools/probe_link.py) while the bank's whole bit output is
+    ~330 KB/block, so the per-array drain was 8x RTT-bound
+    (MULTIMODE_r04's 34 ms/step vs the 8 ms compute).  Order:
+    sorted(mode) x (data, valid); invert with
+    :func:`unpack_bank_outputs` using :func:`bank_output_layout`."""
+    import jax.numpy as jnp
+
+    parts = []
+    for mo in sorted(outs):
+        r = outs[mo]
+        parts.append(r.data.astype(jnp.uint8).reshape(-1))
+        parts.append(r.valid.astype(jnp.uint8).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def bank_output_layout(outs):
+    """Static (mode, shape) layout matching :func:`pack_bank_outputs`."""
+    return [(mo, tuple(int(s) for s in outs[mo].data.shape))
+            for mo in sorted(outs)]
+
+
+def unpack_bank_outputs(flat: np.ndarray, layout):
+    """Host-side inverse of :func:`pack_bank_outputs`:
+    returns {mode: (data u8, valid bool)} numpy views."""
+    out = {}
+    off = 0
+    for mo, shape in layout:
+        n = int(np.prod(shape))
+        data = flat[off:off + n].reshape(shape)
+        off += n
+        valid = flat[off:off + n].reshape(shape).astype(bool)
+        off += n
+        out[mo] = (data, valid)
+    return out
+
 def build_bank(fs: float, block: int, n_channels: int,
                mode_map: Dict[int, str]):
     """Build the shared-front-end bank.
@@ -166,25 +207,40 @@ def decode_mode_bits(mode: str, bits: np.ndarray):
 
 def _run_bank(blocks, step, carry, place, groups
               ) -> Dict[int, Tuple[str, object]]:
-    """Stream ``blocks`` through a bank ``step`` with a 2-deep pending
-    window (device compute overlaps the host drain), then compact + decode
-    each channel's bit row.  Shared by :func:`scan_multimode` and
-    :func:`scan_multimode_sharded` — the only difference between them is
-    how the step is built and how a block is placed on the device(s)."""
+    """Stream ``blocks`` through a bank ``step``, draining each block's
+    bits as ONE packed u8 fetch (:func:`pack_bank_outputs`) started
+    asynchronously and collected 3 blocks later — device compute, the
+    d2h round trip, and the host drain all overlap (the per-array drain
+    was RTT-bound on the tunneled backend; see pack_bank_outputs).  Then
+    compact + decode each channel's bit row.  Shared by
+    :func:`scan_multimode` and :func:`scan_multimode_sharded` — the only
+    difference between them is how the step is built and how a block is
+    placed on the device(s)."""
+    import jax
+
     acc = {mode: [] for mode in groups}
     pending = []
+    pack_j = layout = None
 
-    def drain(outs):
-        for mode, bits in outs.items():
-            acc[mode].append((np.asarray(bits.data), np.asarray(bits.valid)))
+    def drain(flat):
+        for mode, dv in unpack_bank_outputs(np.asarray(flat), layout).items():
+            acc[mode].append(dv)
 
     for blk in blocks:
         carry, outs = step(carry, place(blk))
-        pending.append(outs)
-        if len(pending) > 2:
+        if pack_j is None:
+            pack_j = jax.jit(pack_bank_outputs)
+            layout = bank_output_layout(outs)
+        flat = pack_j(outs)
+        try:
+            flat.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append(flat)
+        if len(pending) > 3:
             drain(pending.pop(0))
-    for outs in pending:
-        drain(outs)
+    for flat in pending:
+        drain(flat)
 
     found: Dict[int, Tuple[str, object]] = {}
     for mode, idxs in groups.items():

@@ -59,6 +59,60 @@ def stream_raw_iq(path: str, block_size: int, dtype=np.uint8,
         ring.close()
 
 
+def u8_wire_to_planes(raw, plane_dtype=None):
+    """ON-DEVICE wire-format conversion: interleaved u8 IQ ``(..., 2*N)``
+    -> planar :class:`~libsdr_tpu.core.cplx.Complex` ``(..., N)``.
+
+    Jit-traceable — upload the RAW u8 wire bytes (2 B/sample: half the
+    host->device traffic of bf16 planes, a quarter of f32) and convert on
+    the TPU.  ``(u8 - 128)/128`` is exact in bf16, so the result is
+    bit-identical to the host LUT path (``native.u8_iq_to_planar_bf16``);
+    the wire format is the reference driver's
+    (/root/reference/src/rtlsource.cc:141-145).  On a link-bound ingest
+    (pump-fed decoder bank, tools/bench_decoder_bank.py) this doubles
+    capacity vs uploading bf16 planes."""
+    import jax.numpy as jnp
+
+    from libsdr_tpu.core.cplx import Complex
+
+    dt = plane_dtype if plane_dtype is not None else jnp.float32
+    v = raw.reshape(raw.shape[:-1] + (raw.shape[-1] // 2, 2))
+    f = (v.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+    return Complex(f[..., 0].astype(dt), f[..., 1].astype(dt))
+
+
+def stream_raw_iq_u8(path: str, block_size: int,
+                     ring_bytes: int = 1 << 24) -> Iterator[np.ndarray]:
+    """Yield RAW interleaved u8 wire blocks (shape ``(2*block_size,)``)
+    from a capture file via the native pump — the host does no format
+    conversion at all; feed :func:`u8_wire_to_planes` on-device.  Final
+    partial block is padded with 128 (the wire's zero)."""
+    bytes_per_block = block_size * 2
+    ring = RingBuffer(max(ring_bytes, 4 * bytes_per_block))
+    pump = FilePump(path, ring)
+    try:
+        while True:
+            raw = ring.take(bytes_per_block)
+            if raw is None:
+                if ring.eos:
+                    n = ring.available
+                    if n == 0:
+                        break
+                    raw = ring.take((n // 2) * 2)
+                    if raw is None or len(raw) == 0:
+                        break
+                    blk = np.full(bytes_per_block, 128, np.uint8)
+                    blk[:len(raw)] = np.frombuffer(raw, np.uint8)
+                    yield blk
+                    break
+                time.sleep(0.0005)
+                continue
+            yield np.frombuffer(raw, np.uint8)
+    finally:
+        pump.stop()
+        ring.close()
+
+
 def stream_raw_iq_bf16(path: str, block_size: int,
                        ring_bytes: int = 1 << 24) -> Iterator:
     """Like :func:`stream_raw_iq` for u8 captures, but the native converter

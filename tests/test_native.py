@@ -165,3 +165,37 @@ def test_u8_to_bf16_converter_lossless(tmp_path):
             np.asarray(b16.re).astype(np.float32), b32.real)
         np.testing.assert_array_equal(
             np.asarray(b16.im).astype(np.float32), b32.imag)
+
+
+def test_u8_wire_to_planes_device_matches_host_lut(tmp_path):
+    """ON-DEVICE wire conversion (io/ingest.u8_wire_to_planes) is
+    bit-identical to the native host LUT (u8_iq_to_planar_bf16) for every
+    u8 value — the wire-upload pump path (VERDICT r4 item 3) decodes the
+    exact same planes as the host-converted path."""
+    import jax.numpy as jnp
+
+    from libsdr_tpu.io.ingest import stream_raw_iq_u8, u8_wire_to_planes
+    from libsdr_tpu.native import u8_iq_to_planar_bf16
+
+    src = np.arange(512, dtype=np.uint8)  # every value, interleaved IQ
+    re_h, im_h = u8_iq_to_planar_bf16(src)
+    dev = u8_wire_to_planes(jnp.asarray(src), jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(dev.re).view(np.uint16),
+        np.asarray(re_h).view(np.uint16))
+    np.testing.assert_array_equal(
+        np.asarray(dev.im).view(np.uint16),
+        np.asarray(im_h).view(np.uint16))
+
+    # raw-wire streaming: yields the exact bytes, padded with 128 (wire
+    # zero) on the final partial block
+    rng = np.random.default_rng(5)
+    cap = tmp_path / "cap.u8"
+    data = rng.integers(0, 256, size=2 * 2500, dtype=np.uint8)
+    data.tofile(cap)
+    blocks = list(stream_raw_iq_u8(str(cap), 1024))
+    assert [len(b) for b in blocks] == [2048, 2048, 2048]
+    got = np.concatenate(blocks)
+    np.testing.assert_array_equal(got[:len(data)], data)
+    np.testing.assert_array_equal(got[len(data):],
+                                  np.full(2 * 3 * 1024 - len(data), 128))

@@ -11,7 +11,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def write_artifact(prefix: str, payload: dict) -> str:
-    rnd = os.environ.get("LIBSDR_ROUND", "04")
+    rnd = os.environ.get("LIBSDR_ROUND", "05")
     path = os.path.join(ROOT, f"{prefix}_r{rnd}.json")
     import sys
     # Record the platform ONLY if a backend is already initialized —

@@ -48,7 +48,7 @@ def synth_channel(fs: float, n: int, address: int, text: str) -> np.ndarray:
     return np.concatenate([sig, np.zeros(n - nsig, np.complex64)])
 
 
-def build_bank(n_ch, fs, block, plane_dtype=None):
+def build_bank(n_ch, fs, block, plane_dtype=None, wire=None):
     import jax
 
     from libsdr_tpu import Pipeline, StreamSpec
@@ -71,6 +71,14 @@ def build_bank(n_ch, fs, block, plane_dtype=None):
     inner = fe.compile()
 
     def step_fn(c, v):
+        if wire == "u8":
+            # ON-DEVICE wire-format conversion: v is the raw interleaved
+            # u8 wire (n_ch, 2*block) — 2 B/sample over the host->device
+            # link, converted to bf16 planes on the TPU (bit-identical to
+            # the host LUT; io/ingest.u8_wire_to_planes).
+            from libsdr_tpu.io.ingest import u8_wire_to_planes
+            import jax.numpy as jnp
+            v = u8_wire_to_planes(v, plane_dtype or jnp.bfloat16)
         c, y = inner(c, v)
         return c, compact_device(y, cap)
 
@@ -155,17 +163,9 @@ def run_device_resident(n_ch, fs, block, n, one, gains, out):
         n_ch * seconds / (t_pipeline + t_host))
 
 
-def run_pump_fed(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
-    """End-to-end from a u8 wire file through the native ingest path."""
-    import jax
-    import jax.numpy as jnp
-
-    from libsdr_tpu.core import cplx as _cplx
-    from libsdr_tpu.native import (FilePump, RingBuffer,
-                                   u8_iq_to_planar_bf16)
-
-    # Wire file: per step, the whole bank's u8 IQ (channel-major) — the
-    # byte stream a wideband front end would push at n_ch * fs * 2 B/s.
+def write_wire_file(n_ch, block, n, one, gains, tmpdir="/tmp"):
+    """Wire file: per step, the whole bank's u8 IQ (channel-major) — the
+    byte stream a wideband front end would push at n_ch * fs * 2 B/s."""
     path = os.path.join(tmpdir, f"decoder_bank_wire_{n_ch}.u8")
     rng = np.random.default_rng(7)
     with open(path, "wb") as f:
@@ -180,6 +180,19 @@ def run_pump_fed(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
             u8 = np.clip(np.round(inter * 128.0 + 128.0), 0,
                          255).astype(np.uint8)
             f.write(u8.tobytes())
+    return path
+
+
+def run_pump_fed(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
+    """End-to-end from a u8 wire file through the native ingest path."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsdr_tpu.core import cplx as _cplx
+    from libsdr_tpu.native import (FilePump, RingBuffer,
+                                   u8_iq_to_planar_bf16)
+
+    path = write_wire_file(n_ch, block, n, one, gains, tmpdir)
 
     fe, step = build_bank(n_ch, fs, block, plane_dtype=jnp.bfloat16)
     carry = fe.init_carry()
@@ -265,6 +278,108 @@ def run_pump_fed(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
         n_ch * seconds / t_e2e)
 
 
+def run_pump_fed_u8(n_ch, fs, block, n, one, gains, out, tmpdir="/tmp"):
+    """Pump-fed with ON-DEVICE wire conversion: upload the RAW u8 bytes
+    (2 B/sample — half the bf16-plane traffic) and convert to planes on
+    the TPU (io/ingest.u8_wire_to_planes).  On a link-bound ingest this
+    is the VERDICT-r4 2x: the host does zero format work and the
+    host->device link carries the wire format itself, exactly the byte
+    stream the reference's driver delivers
+    (/root/reference/src/rtlsource.cc:141-145)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsdr_tpu.native import FilePump, RingBuffer
+
+    path = write_wire_file(n_ch, block, n, one, gains, tmpdir)
+
+    fe, step = build_bank(n_ch, fs, block, plane_dtype=jnp.bfloat16,
+                          wire="u8")
+    carry = fe.init_carry()
+    step_bytes = n_ch * block * 2
+
+    def take_block(ring):
+        while True:
+            raw = ring.take(step_bytes)
+            if raw is not None:
+                return np.frombuffer(raw, np.uint8).reshape(n_ch, 2 * block)
+            if ring.eos and ring.available < step_bytes:
+                return None
+            time.sleep(0.0005)
+
+    def raw_blocks(ring):
+        """Prefetch thread: ring take overlaps the device step (no host
+        conversion at all on this path)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def work():
+            while True:
+                raw = take_block(ring)
+                q.put(raw)
+                if raw is None:
+                    return
+
+        threading.Thread(target=work, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    # warmup / compile on the first wire block
+    ring = RingBuffer(max(1 << 26, 2 * step_bytes))
+    pump = FilePump(path, ring)
+    c, (d0, k0) = step(carry, jnp.asarray(take_block(ring)))
+    _ = float(jnp.sum(k0))
+    pump.stop()
+    ring.close()
+
+    ring = RingBuffer(max(1 << 26, 2 * step_bytes))
+    pump = FilePump(path, ring)
+    t0 = time.perf_counter()
+    c = carry
+    datas, counts, pending = [], [], []
+    for raw in raw_blocks(ring):
+        c, y = step(c, jnp.asarray(raw))
+        pending.append(y)
+        if len(pending) > 1:
+            d, k = pending.pop(0)
+            datas.append(np.asarray(d))
+            counts.append(np.asarray(k))
+    for d, k in pending:
+        datas.append(np.asarray(d))
+        counts.append(np.asarray(k))
+    decoded = decode_all(n_ch, datas, counts)
+    t_e2e = time.perf_counter() - t0
+    pump.stop()
+    ring.close()
+    os.unlink(path)
+
+    seconds = n / fs
+    out["decode_success_pump_u8"] = decoded
+    out["pump_fed_u8_e2e_s"] = round(t_e2e, 4)
+    out["wire_u8_mb_per_s"] = round(n_ch * 2 * n / t_e2e / 1e6, 1)
+    out["realtime_channel_capacity_pump_fed_u8"] = int(
+        n_ch * seconds / t_e2e)
+    # Production-PCIe projection: on real hardware the upload wall is
+    # PCIe gen3 x16 (~12 GB/s effective), not this tunnel.  Projected
+    # capacity = n_ch * seconds / max(compute_s, wire_bytes / pcie_bw).
+    pcie_bw = 12e9
+    wire_bytes = n_ch * 2 * n
+    t_compute = out.get("tpu_front_end_s", t_e2e)
+    t_proj = max(t_compute, wire_bytes / pcie_bw)
+    out["pcie_projection"] = {
+        "formula": "n_ch * seconds / max(tpu_front_end_s, "
+                   "wire_bytes / pcie_bw)",
+        "pcie_bw_GBps": 12.0,
+        "wire_bytes": wire_bytes,
+        "projected_capacity": int(n_ch * seconds / t_proj),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=256)
@@ -297,10 +412,14 @@ def main() -> None:
     run_device_resident(n_ch, fs, block, n, one, gains, out)
     if not args.skip_pump:
         run_pump_fed(n_ch, fs, block, n, one, gains, out)
-    # headline field stays the honest end-to-end number when measured
+        run_pump_fed_u8(n_ch, fs, block, n, one, gains, out)
+    # headline field stays the honest end-to-end number when measured:
+    # the u8-wire upload (2 B/sample, on-device conversion) is the
+    # production ingest path, so it wins when present.
     out["realtime_channel_capacity"] = out.get(
-        "realtime_channel_capacity_pump_fed",
-        out["realtime_channel_capacity_device_resident"])
+        "realtime_channel_capacity_pump_fed_u8",
+        out.get("realtime_channel_capacity_pump_fed",
+                out["realtime_channel_capacity_device_resident"]))
     print(json.dumps(out))
     from tools._artifact import write_artifact
     write_artifact("DECODERBANK", out)
