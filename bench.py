@@ -72,9 +72,13 @@ def _probe_backend(timeout_s: float = 150.0, retries: int = 1) -> str | None:
 
     relay = _relay_state()
     # NOTE (2026-08-19): the relay's instant-EOF signature was observed
-    # while the backend WORKED (relay protocol changed), so it no longer
-    # shortens the probe — it is diagnostic evidence only; the subprocess
-    # jax probe is the ground truth either way.
+    # while the backend WORKED (relay protocol changed), so it does not
+    # decide the verdict — the subprocess jax probe is the ground truth
+    # either way.  It DOES shorten the probe (one 60s attempt instead of
+    # 2x150s + a retry sleep): when the signature is present and the
+    # backend is genuinely dead, the diagnostic line lands in ~1 min.
+    if "recv returns b''" in relay:
+        timeout_s, retries = min(timeout_s, 60.0), 0
 
     last = "unknown"
     for attempt in range(retries + 1):
@@ -205,6 +209,16 @@ def main() -> None:
             baseline = json.load(f)["reference_value_msps"]
     except Exception:
         baseline = 8.41
+    # Executed-flops model (so regressions are judged against hardware
+    # peak, not only the C++ baseline): each 512-input frame per channel
+    # runs both planes through the (SD=512, 2S+2*NSP_PAD=512)-column
+    # Toeplitz matmul (pallas_fir_mxu._build_mats) -> 2*512*512 MACs /
+    # 512 inputs = 2048 flops per input sample per MXU pass.  'fast' is
+    # one bf16 pass; 'high'/f32 is the 3-pass bf16 split (3x executed).
+    flops_per_sample = 2048
+    tflops_fast = msps_fast * 1e6 * flops_per_sample / 1e12
+    tflops_high = msps_f32 * 1e6 * flops_per_sample * 3 / 1e12
+    peak_tflops = 197.0  # assumed v5e bf16 MXU peak (197 TFLOP/s)
     print(json.dumps({
         "metric": "complex Msamples/s/chip through FIR+FM chain "
                   f"({n_channels} channels, order=64, decim=4; best of "
@@ -216,6 +230,12 @@ def main() -> None:
         "f32_msps": round(msps_f32, 2),
         "bf16_ingest_msps": round(msps_bf16, 2),
         "bf16_fast_msps": round(msps_fast, 2),
+        "flops_per_sample_model": flops_per_sample,
+        "tflops": round(tflops_fast, 1),
+        "tflops_high_executed": round(tflops_high, 1),
+        "peak_tflops_assumed": peak_tflops,
+        "mfu_est": round(tflops_fast / peak_tflops, 3),
+        "mfu_high_executed": round(tflops_high / peak_tflops, 3),
     }))
 
 

@@ -39,7 +39,7 @@ class Pipeline(Processor):
         self.optimize = optimize
         self._step = None
         self._step_donate = None
-        self._step_chunked = None
+        self._step_chunked = {}
 
     # -- spec propagation (the "Config propagation" pass) ---------------------
 
@@ -49,7 +49,7 @@ class Pipeline(Processor):
         # in, so it must be invalidated (retune contract: set_freq/set_band
         # then re-bind + compile).
         self._step = None
-        self._step_chunked = None
+        self._step_chunked = {}
         orig = list(self.stages)
         if self.optimize:
             from libsdr_tpu.core.fuse import fuse_stages
@@ -112,26 +112,53 @@ class Pipeline(Processor):
             self._step_donate = donate_carry
         return self._step
 
-    def compile_chunked(self):
-        """Jitted ``step(carry, xs) -> (carry, ys)`` over K STACKED blocks
-        (leading axis K) via ``lax.scan`` — ONE device dispatch processes K
-        pipeline blocks.  K is the stacked leading-axis length (jit
-        retraces per shape, so one compiled step serves any K).
+    def compile_chunked(self, mode: str = "unroll"):
+        """Jitted ``step(carry, xs) -> (carry, ys)`` over K blocks — ONE
+        device dispatch processes K pipeline blocks.
 
-        Why: every dispatch through a slow host link pays a fixed ~2 ms
-        launch floor (measured on this environment's tunnel); a streaming
-        config with 4-MB blocks loses ~3x of the kernel rate to it.
-        Chaining K blocks per dispatch amortizes the floor K-fold at a
-        latency cost of K blocks.  For BIG blocks (>= ~128 MB) prefer K=1:
-        the scan's per-step dynamic-slice/stack copies grow with block
-        size (~2.6 ms per 128 MB step) and dispatch is already amortized.
+        Why: every dispatch through a slow host link pays a fixed ~2-3 ms
+        launch floor (measured on this environment's tunnel, where calls
+        additionally SERIALIZE at that floor); chaining K blocks per
+        dispatch amortizes it K-fold at a latency budget of K blocks.
+
+        Modes (both bit-identical to K repeated :meth:`compile` steps —
+        tests/test_core.py):
+
+        * ``"unroll"`` (production): ``xs``/``ys`` are length-K TUPLES of
+          blocks; the trace Python-unrolls ``apply`` K times.  Every block
+          stays its own XLA buffer — no on-device staging copies, and the
+          Pallas kernels keep their double-buffered prefetch across
+          iterations.  K is static per compiled shape (jit retraces per
+          K, which is the same retrace rule the scan path had per stacked
+          leading-axis length).
+        * ``"scan"``: ``xs``/``ys`` are K-STACKED arrays (leading axis K)
+          via ``lax.scan``.  Measured REGRESSION on big blocks
+          (STREAMING_r04: K=2 halved throughput at 128ch x 512k): the
+          scan's per-iteration dynamic-slice of the stacked input and
+          dynamic-update-slice of the stacked output are real HBM copies
+          that grow with block size and break the kernels' prefetch
+          pipelining.  Kept for measurement/comparison
+          (tools/bench_streaming.py) and for callers that want bounded
+          code size at very large K.
         """
-        if self._step_chunked is None:
-            # Fresh lambda per compile (see compile()).
-            self._step_chunked = jax.jit(
-                lambda carry, xs: jax.lax.scan(
-                    lambda c, x: self.apply(c, x), carry, xs))
-        return self._step_chunked
+        if mode not in ("unroll", "scan"):
+            raise ValueError(f"compile_chunked: unknown mode {mode!r}")
+        if self._step_chunked.get(mode) is None:
+            if mode == "scan":
+                # Fresh lambda per compile (see compile()).
+                self._step_chunked[mode] = jax.jit(
+                    lambda carry, xs: jax.lax.scan(
+                        lambda c, x: self.apply(c, x), carry, xs))
+            else:
+                def unrolled(carry, xs):
+                    ys = []
+                    for x in xs:
+                        carry, y = self.apply(carry, x)
+                        ys.append(y)
+                    return carry, tuple(ys)
+
+                self._step_chunked[mode] = jax.jit(unrolled)
+        return self._step_chunked[mode]
 
     def switch_stages(self, new_stages: Sequence[Processor], old_carry):
         """Live restructuring of a BOUND pipeline mid-stream — the analog of

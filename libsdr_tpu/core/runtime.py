@@ -59,11 +59,12 @@ def run_pipeline(pipeline: Pipeline,
       carry: initial carry; defaults to ``pipeline.init_carry()``.
       collect: if True, concatenate and return all outputs along time.
       device: optional jax device for explicit placement.
-      chunks_per_dispatch: stack K consecutive blocks into ONE device
-        dispatch (a ``lax.scan`` over the carry) — amortizes the fixed
-        per-dispatch launch cost for small/streaming blocks at a latency
-        budget of K blocks (see Pipeline.compile_chunked).  A trailing
-        group of fewer than K blocks runs through the regular step.
+      chunks_per_dispatch: group K consecutive blocks into ONE device
+        dispatch (the unrolled chunked step: each block stays its own XLA
+        buffer, no staging copies) — amortizes the fixed per-dispatch
+        launch cost for small/streaming blocks at a latency budget of K
+        blocks (see Pipeline.compile_chunked).  A trailing group of fewer
+        than K blocks runs through the regular step.
 
     Returns:
       (carry, outputs) where outputs is the concatenated output array if
@@ -78,30 +79,21 @@ def run_pipeline(pipeline: Pipeline,
     outs = []
     pending = []  # keep a small window of in-flight device results
 
-    def drain(y, stacked=False):
-        if ragged:
-            # Variable-rate decoder streams (bit-sync output): hand the
-            # host-side Ragged block through; the collected result is
-            # compacted once at the end (per-channel for channel banks).
-            from libsdr_tpu.core.ragged import Ragged
-            y = Ragged(np.asarray(y.data), np.asarray(y.valid))
-        else:
-            y = cplx.to_numpy(y)  # complex streams come back planar
-        pieces = list(_unstack(y, ragged)) if stacked else [y]
-        for p in pieces:
+    def drain(y, chunked=False):
+        # A chunked dispatch returns a length-K tuple of output blocks.
+        for p in (y if chunked else (y,)):
+            if ragged:
+                # Variable-rate decoder streams (bit-sync output): hand the
+                # host-side Ragged block through; the collected result is
+                # compacted once at the end (per-channel for channel banks).
+                from libsdr_tpu.core.ragged import Ragged
+                p = Ragged(np.asarray(p.data), np.asarray(p.valid))
+            else:
+                p = cplx.to_numpy(p)  # complex streams come back planar
             if sink is not None:
                 sink(p)
             if collect:
                 outs.append(p)
-
-    def _unstack(y, is_ragged):
-        if is_ragged:
-            from libsdr_tpu.core.ragged import Ragged
-            for i in range(y.data.shape[0]):
-                yield Ragged(y.data[i], y.valid[i])
-        else:
-            for i in range(y.shape[0]):
-                yield y[i]
 
     def dispatch(x, use_k):
         nonlocal carry
@@ -119,15 +111,14 @@ def run_pipeline(pipeline: Pipeline,
         if k > 1:
             group.append(x)
             if len(group) == k:
-                dispatch(jax.tree_util.tree_map(
-                    lambda *a: jnp.stack(a), *group), True)
+                dispatch(tuple(group), True)
                 group = []
         else:
             dispatch(x, False)
     for x in group:                    # trailing partial group
         dispatch(x, False)
-    for y, stacked in pending:
-        drain(y, stacked)
+    for y, chunked in pending:
+        drain(y, chunked)
     if not (collect and outs):
         return carry, None
     if ragged:

@@ -40,9 +40,9 @@ def test_pipeline_step_and_driver(rng):
 
 
 def test_chunks_per_dispatch_matches_single(rng):
-    """K-blocks-per-dispatch (lax.scan carry chaining) is bit-identical to
-    one-block-at-a-time streaming, including a trailing partial group and a
-    stateful (FIR tail) carry."""
+    """K-blocks-per-dispatch (the unrolled chunked step) is bit-identical
+    to one-block-at-a-time streaming, including a trailing partial group
+    and a stateful (FIR tail) carry."""
     from libsdr_tpu.ops import FIRFilter
 
     spec = StreamSpec(jnp.float32, 8000, 256)
@@ -72,6 +72,33 @@ def test_chunks_per_dispatch_matches_single(rng):
         return np.asarray(bits)
 
     np.testing.assert_array_equal(run_bits(1), run_bits(3))
+
+
+def test_compile_chunked_modes_agree(rng):
+    """Both chunked modes — 'unroll' (tuple-of-blocks, production) and
+    'scan' (K-stacked lax.scan, kept for measurement) — match K repeated
+    single steps on a stateful carry."""
+    from libsdr_tpu.ops import FIRFilter
+
+    spec = StreamSpec(jnp.float32, 8000, 256)
+    p = Pipeline([FIRFilter(order=17, kind="lowpass", fu=1500.0)])
+    p.bind(spec)
+    xs = [rng.normal(size=256).astype(np.float32) for _ in range(3)]
+
+    c = p.init_carry()
+    step = p.compile()
+    singles = []
+    for x in xs:
+        c, y = step(c, x)
+        singles.append(np.asarray(y))
+
+    _, ys_u = p.compile_chunked("unroll")(p.init_carry(), tuple(xs))
+    _, ys_s = p.compile_chunked("scan")(p.init_carry(), jnp.stack(xs))
+    for i in range(3):
+        np.testing.assert_allclose(singles[i], np.asarray(ys_u[i]),
+                                   atol=3e-7)
+        np.testing.assert_allclose(singles[i], np.asarray(ys_s[i]),
+                                   atol=3e-7)
 
 
 def test_stream_blocks_pads_final_block():

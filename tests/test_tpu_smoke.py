@@ -91,6 +91,7 @@ def test_fused_fm_chain_vs_unfused_on_chip():
     _, yf = pf.apply(pf.init_carry(), x)
     _, yu = pu.apply(pu.init_carry(), x)
     snr = snr_db(np.asarray(yu)[0], np.asarray(yf)[0])
+    print(f"[smoke] fused_vs_unfused_fm_snr_db={snr:.1f}")
     assert snr > 110.0, snr
 
 
@@ -191,6 +192,7 @@ def test_bf16_ingest_path_on_chip():
     y32 = run(None)
     y16 = run("bfloat16")
     snr = snr_db(y32[0], y16[0])
+    print(f"[smoke] bf16_ingest_snr_db={snr:.1f}")
     assert snr > 35.0, snr
 
 
@@ -248,6 +250,7 @@ def test_fast_precision_mode_on_chip():
     finally:
         set_mxu_precision("high")
     snr = snr_db(y_hi[0], y_fast[0])
+    print(f"[smoke] fast_precision_snr_db={snr:.1f}")
     assert snr > 70.0, snr
 
 
@@ -387,6 +390,7 @@ def test_usb_fused_kernel_on_chip():
         return np.asarray(y)
 
     snr = snr_db(run(False)[0], run(True)[0])
+    print(f"[smoke] usb_fused_snr_db={snr:.1f}")
     assert snr > 60.0, snr
 
 

@@ -2,7 +2,7 @@
 # One-shot hardware sweep: smoke suite + every bench, each in a FRESH
 # process (the axon plugin pins the backend at first jax touch), each under
 # a timeout so a wedged tunnel cannot hang the sweep.  Artifacts land as
-# *_r${LIBSDR_ROUND:-04}.json next to the driver's BENCH_r*.json.
+# *_r${LIBSDR_ROUND:-05}.json next to the driver's BENCH_r*.json.
 #
 # Usage: bash tools/bench_all.sh [quick]
 #   quick: skip the ~6 min smoke suite, run benches only.
@@ -44,7 +44,7 @@ echo "=== headline exit=$hl_rc ==="
 hl_line=$(echo "$hl" | tail -1)
 if [ $hl_rc -eq 0 ] && echo "$hl_line" | grep -q '"value":' \
    && ! echo "$hl_line" | grep -q '"platform": "cpu"'; then
-  echo "$hl_line" > "HEADLINE_r${LIBSDR_ROUND:-04}.json"
+  echo "$hl_line" > "HEADLINE_r${LIBSDR_ROUND:-05}.json"
 fi
 run 600 rx_modes      $PY tools/bench_rx_modes.py
 run 600 channelizer   $PY tools/bench_channelizer.py
@@ -52,8 +52,15 @@ run 900 decoder_bank  $PY tools/bench_decoder_bank.py --channels 1024
 run 600 multimode     $PY tools/bench_multimode.py
 run 600 streaming     $PY tools/bench_streaming.py
 run 300 live_ingest   $PY tools/bench_live_ingest.py
+run 300 tunnel_link   $PY tools/probe_link.py
 run 600 scanner_prof  $PY tools/profile_scanner.py
 run 600 ax25_prof     $PY tools/profile_ax25.py
 run 600 multimode_prof $PY tools/profile_multimode.py
+# Virtual-mesh scaling harness (structural-only on CPU; the artifact
+# carries that annotation) — run it in the sweep so every *_rN.json is
+# same-round (VERDICT r4 #9).
+run 300 scaling env JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  LIBSDR_ALLOW_CPU_ARTIFACT=1 $PY tools/bench_scaling.py
 echo "sweep done; artifacts:"
-ls -la *_r"${LIBSDR_ROUND:-04}".json 2>/dev/null
+ls -la *_r"${LIBSDR_ROUND:-05}".json 2>/dev/null

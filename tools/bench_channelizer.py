@@ -177,6 +177,7 @@ def main() -> None:
         set_mxu_precision("high")
 
     out["metric"] = "polyphase channelizer wideband Msamples/s/chip"
+    out["protocol"] = "carry-chained steps, single forced readback ends the timed region, best of runs (BASELINE.md timing protocol)"
     out["per_channel_msps"] = round(out["wideband_fm_msps"] / m, 4)
     print(json.dumps(out))
     from tools._artifact import write_artifact

@@ -139,6 +139,7 @@ def main() -> None:
     out["ax25_wide_unfused_msps"] = afsk_bank(n_wide, blk2 // 4, fused=False)
 
     out["metric"] = "per-mode receiver bank Msamples/s/chip (apps/rx.py)"
+    out["protocol"] = "carry-chained steps, single forced readback ends the timed region, best of runs (BASELINE.md timing protocol)"
     print(json.dumps(out))
     from tools._artifact import write_artifact
     write_artifact("RXMODES", out)

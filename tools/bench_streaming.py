@@ -47,18 +47,10 @@ def main() -> None:
     out = {"channels": n_ch, "block": block,
            "samples_per_block": n_ch * block}
 
-    for k in args.ks:
-        if k == 1:
-            step = p.compile()
-            xs = x1
-        else:
-            step = p.compile_chunked()
-            xs = cplx.Complex(
-                jnp.broadcast_to(x1.re, (k,) + x1.re.shape),
-                jnp.broadcast_to(x1.im, (k,) + x1.im.shape))
+    def measure(step, xs, k, force):
         carry = p.init_carry()
         c, y = step(carry, xs)
-        _ = float(jnp.sum(y))
+        force(y)
         best = float("inf")
         iters = max(2, 16 // k)
         for _ in range(3):
@@ -66,17 +58,44 @@ def main() -> None:
             c = carry
             for _ in range(iters):
                 c, y = step(c, xs)
-            _ = float(jnp.sum(y))
+            force(y)
             best = min(best, (time.perf_counter() - t0) / iters)
-        msps = n_ch * block * k / best / 1e6
+        return n_ch * block * k / best / 1e6, best
+
+    force1 = lambda y: float(jnp.sum(y))  # noqa: E731
+
+    for k in args.ks:
+        if k == 1:
+            msps, best = measure(p.compile(), x1, 1, force1)
+            out["k1_msps"] = round(msps, 1)
+            out["k1_latency_ms"] = round(best * 1e3, 3)
+            continue
+        # production mode: tuple-of-blocks unrolled step (no staging copies)
+        xs_t = tuple(cplx.Complex(x1.re + float(i), x1.im) for i in range(k))
+        msps, best = measure(p.compile_chunked("unroll"), xs_t, k,
+                             lambda ys: float(jnp.sum(ys[-1])))
         out[f"k{k}_msps"] = round(msps, 1)
         out[f"k{k}_latency_ms"] = round(best * 1e3, 3)
+        del xs_t  # free the K distinct input planes before the scan row
+        # comparison row: the lax.scan K-stacked mode (STREAMING_r04's
+        # measured regression — kept so the r04->r05 delta is in-artifact)
+        xs_s = cplx.Complex(jnp.broadcast_to(x1.re, (k,) + x1.re.shape),
+                            jnp.broadcast_to(x1.im, (k,) + x1.im.shape))
+        msps_s, _ = measure(p.compile_chunked("scan"), xs_s, k, force1)
+        out[f"k{k}_scan_msps"] = round(msps_s, 1)
+        del xs_s
 
     base = out.get("k1_msps", 1.0)
     out["best_speedup_vs_k1"] = round(
         max(out[f"k{k}_msps"] for k in args.ks) / base, 2)
     out["metric"] = ("streaming FM bank Msps vs chunks-per-dispatch "
                      "(latency = ms per dispatch of K blocks)")
+    out["protocol"] = (
+        "carry-chained dispatches, single forced readback per timed run "
+        "(BASELINE.md).  k{K}_msps = the production unrolled "
+        "tuple-of-blocks chunked step; k{K}_scan_msps = the retired "
+        "lax.scan stacked mode, kept to document its measured staging-copy "
+        "regression (STREAMING_r04).")
     print(json.dumps(out))
     from tools._artifact import write_artifact
     write_artifact("STREAMING", out)

@@ -47,8 +47,13 @@ def jax_alive(timeout_s: float = 90.0) -> bool:
     except subprocess.TimeoutExpired:
         return False
     # The plugin has reported its platform as both "axon" and (since
-    # 2026-08-19) "tpu"; either means the real chip answered.
-    return r.returncode == 0 and ("axon" in r.stdout or "tpu" in r.stdout)
+    # 2026-08-19) "tpu"; either means the real chip answered.  Parse the
+    # printed platform token (last stdout token) rather than substring-
+    # matching the whole stream, so incidental log noise containing
+    # "tpu"/"axon" can't count as a live chip.
+    toks = r.stdout.split()
+    return (r.returncode == 0 and bool(toks)
+            and toks[-1].lower() in {"axon", "tpu"})
 
 
 def main() -> None:

@@ -118,13 +118,30 @@ def main() -> None:
     out["mode_chains_banked_ms"] = round(
         timeit(lambda: mstep(carries0, y), force_any) * 1e3, 2)
 
-    # Full jitted step (what the app runs per block).
+    # Full jitted step (what the app runs per block) — carry-chained with
+    # a single force, the repo-wide bench protocol, so this row is directly
+    # comparable to MULTIMODE_r*'s compute row (an un-chained loop lets the
+    # async dispatcher overlap iterations and reads ~2x too fast).
     step, init_carry, _ = build_bank(fs, block, m, mode_map)
-    carry = init_carry()
-    t_step = timeit(lambda: step(carry, x), force_any)
+
+    def chained_step():
+        c = init_carry()
+        r = None
+        for _ in range(6):
+            c, r = step(c, x)
+        return r
+
+    t_step = timeit(lambda: chained_step(), force_any, iters=1) / 6
     out["step_ms"] = round(t_step * 1e3, 2)
     out["msps"] = round(block / t_step / 1e6, 1)
-    out["metric"] = "multimode bank stage profile, ms/block (forced sync)"
+    out["metric"] = "multimode bank stage profile, ms/block"
+    out["protocol"] = (
+        "stage rows (*_ms except step_ms) are forced-sync per stage: each "
+        "includes the ~3 ms tunnel dispatch floor and they are NOT "
+        "additive; step_ms is carry-chained with a single force (the "
+        "repo bench protocol, BASELINE.md) and is the row comparable to "
+        "MULTIMODE_r*'s compute_step_ms — the bench's step_ms additionally "
+        "includes the ragged-bit drain fetch.")
 
     print(json.dumps(out))
     from tools._artifact import write_artifact

@@ -1,9 +1,14 @@
 """Run the on-hardware smoke/parity suite (tests/test_tpu_smoke.py) on the
-real TPU backend.
+real TPU backend, and PERSIST the evidence as SMOKE_r*.json.
 
 The regular test suite forces an 8-device virtual CPU mesh; this runner
 sets ``LIBSDR_TPU_TESTS=1`` so conftest keeps the axon TPU backend, and
 runs ONLY the smoke file (the sharding tests need the virtual mesh).
+
+The artifact (VERDICT r4 weak #7: perf evidence was persisted meticulously,
+hardware-correctness evidence not at all) records pass/fail counts plus the
+measured bounds the suite prints: the Mosaic-retiling ulp worst cases and
+the fused/bf16/fast/USB SNRs.
 
 Usage: python tools/tpu_check.py [extra pytest args]
 Exit code is pytest's.
@@ -12,8 +17,10 @@ Exit code is pytest's.
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
+import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -22,8 +29,50 @@ def main() -> int:
     env = dict(os.environ, LIBSDR_TPU_TESTS="1")
     cmd = [sys.executable, "-m", "pytest",
            os.path.join(ROOT, "tests", "test_tpu_smoke.py"),
-           "-q", *sys.argv[1:]]
-    return subprocess.call(cmd, cwd=ROOT, env=env)
+           "-q", "-s", *sys.argv[1:]]
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, cwd=ROOT, env=env,
+                            stdout=subprocess.PIPE, text=True, bufsize=1)
+    lines = []
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        lines.append(line.rstrip("\n"))
+    rc = proc.wait()
+    text = "\n".join(lines)
+
+    out = {"pytest_exit": rc, "wall_s": round(time.time() - t0, 1)}
+    m = re.search(r"(\d+) passed", text)
+    out["passed"] = int(m.group(1)) if m else 0
+    for key in ("failed", "skipped", "error"):
+        m = re.search(rf"(\d+) {key}", text)
+        if m:
+            out[key] = int(m.group(1))
+    # measured bounds printed by the suite
+    for m in re.finditer(r"\[smoke\] (\w+)=([-\d.]+)", text):
+        out[m.group(1)] = float(m.group(2))
+    ulps = {}
+    for m in re.finditer(
+            r"^(.*): bit-identical=(\w+), worst=([\d.]+) ulp", text, re.M):
+        name = re.sub(r"\W+", "_", m.group(1).strip()).strip("_")
+        ulps[name] = {"bit_identical": m.group(2) == "True",
+                      "worst_ulp": float(m.group(3))}
+    if ulps:
+        out["retiling_ulp_bounds"] = ulps
+    out["metric"] = ("on-hardware smoke/parity suite result "
+                     "(tests/test_tpu_smoke.py on the real TPU)")
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from _artifact import write_artifact
+
+    # The artifact writer's CPU guard keys on THIS process's backend, but
+    # the suite ran in a subprocess — gate on its own platform evidence
+    # instead: tests that require the axon/tpu backend skip wholesale on
+    # CPU, so a passing, non-skipped run IS a TPU run.
+    if out["passed"] > 0 and rc == 0:
+        path = write_artifact("SMOKE", out)
+        print(f"[smoke artifact] {path}")
+    else:
+        print("[smoke artifact] not written (failures or nothing ran)")
+    return rc
 
 
 if __name__ == "__main__":
