@@ -1,92 +1,26 @@
 """APRS web service (reference: cmd/ APRSApplication + src/http.{hh,cc}).
 
-The reference ships a tiny threaded HTTP/1.1 server with JSON handlers
-(reference: src/http.cc:141-210) used by its APRS map app
-(cmd/aprsapplication.cc:10-60: static page, /spots JSON, /update push).
-Python's stdlib ThreadingHTTPServer provides the same thread-per-connection
-model, so the service here is the decoded-spot store + JSON endpoints.
-
-The reference's server also carries a protocol-upgrade hook plus a SHA-1
-implementation intended for websocket push (src/http.hh:87-621 +
-src/sha1.cc — never wired up to a handler there); here the upgrade is
-actually implemented: ``GET /ws`` performs the RFC 6455 handshake
-(Sec-WebSocket-Accept = base64(sha1(key + GUID))) and the connection then
-receives every stored spot followed by each newly decoded/pushed spot as
-a JSON text frame.
+The HTTP machinery lives in the reusable ``utils/http.py`` library (the
+analog of the reference's src/http.hh:87-621 Handler/StaticHandler/
+DelegateJSONHandler surface plus a WORKING RFC 6455 websocket upgrade —
+the reference shipped the hook + sha1.cc but never wired them); this app
+is the decoded-spot store + its endpoint wiring
+(cmd/aprsapplication.cc:10-60: static map page, /spots JSON, /update
+push, live /ws spot stream).
 """
 
 from __future__ import annotations
 
-import base64
-import hashlib
 import json
 import queue
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List
 
 from libsdr_tpu.decode.aprs import APRSDecoder, APRSMessage
-
-# RFC 6455 §1.3 handshake GUID (the constant the reference's sha1.cc was
-# shipped for).
-_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
-
-
-def ws_accept(key: str) -> str:
-    """Sec-WebSocket-Accept for a client key (RFC 6455 §4.2.2)."""
-    digest = hashlib.sha1((key + _WS_GUID).encode("ascii")).digest()
-    return base64.b64encode(digest).decode("ascii")
-
-
-def ws_frame(opcode: int, payload: bytes) -> bytes:
-    """One unmasked server->client frame (RFC 6455 §5.2)."""
-    n = len(payload)
-    if n < 126:
-        head = bytes([0x80 | opcode, n])
-    elif n < 1 << 16:
-        head = bytes([0x80 | opcode, 126]) + n.to_bytes(2, "big")
-    else:
-        head = bytes([0x80 | opcode, 127]) + n.to_bytes(8, "big")
-    return head + payload
-
-
-def ws_text_frame(payload: bytes) -> bytes:
-    """One unmasked server->client text frame (RFC 6455 §5.2)."""
-    return ws_frame(0x1, payload)
-
-
-def ws_parse_frames(buf: bytes):
-    """Parse complete (possibly masked) frames from ``buf``; returns
-    ([(opcode, payload), ...], unconsumed_rest) (RFC 6455 §5.2-5.3)."""
-    frames = []
-    while len(buf) >= 2:
-        opcode = buf[0] & 0x0F
-        masked = bool(buf[1] & 0x80)
-        n = buf[1] & 0x7F
-        off = 2
-        if n == 126:
-            if len(buf) < 4:
-                break
-            n = int.from_bytes(buf[2:4], "big")
-            off = 4
-        elif n == 127:
-            if len(buf) < 10:
-                break
-            n = int.from_bytes(buf[2:10], "big")
-            off = 10
-        need = off + (4 if masked else 0) + n
-        if len(buf) < need:
-            break
-        if masked:
-            mask = buf[off:off + 4]
-            raw = buf[off + 4:need]
-            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(raw))
-        else:
-            payload = buf[off:need]
-        frames.append((opcode, payload))
-        buf = buf[need:]
-    return frames, buf
-
+from libsdr_tpu.utils.http import (JSONHandler, StaticHandler,  # noqa: F401
+                                   WebSocket, WebSocketHandler,
+                                   serve_handlers, ws_accept, ws_frame,
+                                   ws_parse_frames, ws_text_frame)
 
 def _load_page() -> bytes:
     """The static map page served at '/' (parity with the reference's baked
@@ -166,147 +100,42 @@ class APRSStore:
             return list(self._spots)
 
 
-def make_handler(store: APRSStore):
-    class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.1"
+def _ws_spot_stream(store: APRSStore):
+    """/ws session: push every stored spot, then each new one, while the
+    library's poll answers Ping/Close (the upgrade-hook use case the
+    reference's http.hh + sha1.cc were shipped for)."""
 
-        def do_GET(self):  # noqa: N802
-            if self.path == "/ws":
-                self._serve_websocket()
-                return
-            if self.path == "/spots":
-                body = json.dumps(store.spots()).encode()
-                ctype = "application/json"
-            elif self.path == "/":
-                body, ctype = _PAGE, "text/html"
-            else:
-                self.send_error(404)
-                return
-            self.send_response(200)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def do_POST(self):  # noqa: N802
-            # /update: push a spot from an external source (the reference's
-            # DelegateJSONHandler REST push, cmd/aprsapplication.cc:43-60).
-            if self.path != "/update":
-                self.send_error(404)
-                return
-            try:
-                n = int(self.headers.get("Content-Length", "0"))
-            except ValueError:
-                self.send_error(400)
-                return
-            if not (0 < n <= 1 << 20):  # bound attacker-controlled reads
-                self.send_error(413 if n > 1 << 20 else 400)
-                return
-            try:
-                spot = json.loads(self.rfile.read(n))
-            except Exception:
-                self.send_error(400)
-                return
-            if not isinstance(spot, dict):
-                self.send_error(400)
-                return
-            store.add_spot(spot)
-            self.send_response(204)
-            self.end_headers()
-
-        def _serve_websocket(self):
-            # RFC 6455 server handshake + spot push (the upgrade path the
-            # reference's http.hh protocol hook + sha1.cc were built for).
-            key = self.headers.get("Sec-WebSocket-Key")
-            upgrade = (self.headers.get("Upgrade") or "").lower()
-            if upgrade != "websocket" or not key:
-                self.send_error(400, "websocket upgrade required")
-                return
-            self.send_response(101, "Switching Protocols")
-            self.send_header("Upgrade", "websocket")
-            self.send_header("Connection", "Upgrade")
-            self.send_header("Sec-WebSocket-Accept", ws_accept(key))
-            self.end_headers()
-            self.close_connection = True
-            q = store.subscribe()
-            # Full-duplex loop: push queued spots, AND read the socket so
-            # client control frames are honored — Ping gets a Pong and
-            # Close gets the closing-handshake reply (RFC 6455 §5.5.1-2);
-            # a write-only handler would leave a browser's close() hanging
-            # in CLOSING until its timeout.  Reads poll via select() so
-            # SENDS stay blocking — a socket-wide timeout would also abort
-            # any write that stalls > the poll interval, defeating the
-            # slow-consumer handling.
-            import select
-
-            # A client may pipeline frames in the same TCP segment as the
-            # upgrade request; those bytes sit in rfile's read-ahead
-            # buffer, invisible to select()/recv().  Drain them first
-            # (non-blocking: read1 returns buffered bytes, and raises
-            # BlockingIOError only when the buffer is empty).
-            inbuf = b""
-            try:
-                self.connection.setblocking(False)
+    def on_open(ws: WebSocket) -> None:
+        q = store.subscribe()
+        try:
+            while True:
                 try:
-                    inbuf = self.rfile.read1(65536) or b""
-                except (BlockingIOError, ValueError):
+                    while True:
+                        ws.send_json(q.get_nowait())
+                except queue.Empty:
                     pass
-            finally:
-                self.connection.setblocking(True)
-            try:
-                while True:
-                    try:
-                        while True:
-                            spot = q.get_nowait()
-                            self.wfile.write(
-                                ws_text_frame(json.dumps(spot).encode()))
-                    except queue.Empty:
-                        pass
-                    self.wfile.flush()
-                    r, _, _ = select.select([self.connection], [], [], 0.25)
-                    if r:
-                        data = self.connection.recv(4096)
-                        if not data:
-                            break              # client hung up
-                        inbuf += data
-                    elif not inbuf:
-                        continue
-                    frames, inbuf = ws_parse_frames(inbuf)
-                    # Only <=125-byte control frames are expected from the
-                    # client; a giant claimed frame length (or endless
-                    # unparseable bytes) must not grow inbuf unboundedly.
-                    if len(inbuf) > 1 << 16:
-                        break
-                    done = False
-                    for opcode, payload in frames:
-                        if opcode == 0x8:      # Close: echo + finish
-                            self.wfile.write(ws_frame(0x8, payload[:125]))
-                            self.wfile.flush()
-                            done = True
-                            break
-                        if opcode == 0x9:      # Ping -> Pong, same payload
-                            # clamp: control frames must be <=125 bytes
-                            # (RFC 6455 §5.5), even echoing an oversized ping
-                            self.wfile.write(ws_frame(0xA, payload[:125]))
-                            self.wfile.flush()
-                    if done:
-                        break
-            except (BrokenPipeError, ConnectionResetError, OSError):
-                pass           # client went away; thread is a daemon
-            finally:
-                store.unsubscribe(q)
+                if ws.poll(0.25) is None:
+                    break
+        finally:
+            store.unsubscribe(q)
 
-        def log_message(self, *a):  # quiet
-            pass
-
-    return Handler
+    return on_open
 
 
-def serve(store: APRSStore, port: int = 8080) -> ThreadingHTTPServer:
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(store))
-    t = threading.Thread(target=httpd.serve_forever, daemon=True)
-    t.start()
-    return httpd
+def handlers_for(store: APRSStore):
+    """The app's endpoint table (reference: cmd/aprsapplication.cc:13-60),
+    expressed in the utils/http handler library."""
+    return [
+        StaticHandler("/", _PAGE, "text/html"),
+        JSONHandler("/spots", get=store.spots),
+        JSONHandler("/update", post=store.add_spot, post_status=204),
+        WebSocketHandler("/ws", _ws_spot_stream(store)),
+    ]
+
+
+def serve(store: APRSStore, port: int = 8080):
+    """Start the service on ``port`` (0 = ephemeral); returns the httpd."""
+    return serve_handlers(handlers_for(store), port)
 
 
 def _serve_live(args):
