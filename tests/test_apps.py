@@ -547,3 +547,35 @@ def test_rx_cli_live_mode_switch(tmp_path):
 
     assert abs(peak(audio[half // 4: half]) - 800.0) < 10
     assert abs(peak(audio[half + half // 4:]) - 1100.0) < 10
+
+
+def test_tpu_check_smoke_parser():
+    """tools/tpu_check.py's SMOKE artifact parser: pass/fail counts, the
+    '[smoke] name=value' measured bounds, and retiling ulp lines."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "tpu_check", os.path.join(os.path.dirname(__file__), "..",
+                                  "tools", "tpu_check.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    text = "\n".join([
+        "[smoke] fused_vs_unfused_fm_snr_db=132.4",
+        "[smoke] fast_precision_snr_db=93.1",
+        "fm full-block vs shard-sized half blocks: "
+        "bit-identical=False, worst=2.31 ulp",
+        "pfb full vs halves: bit-identical=True, worst=0.00 ulp",
+        "17 passed, 1 skipped in 402.11s",
+    ])
+    out = mod.parse_smoke_output(text, 0, 402.6)
+    assert out["passed"] == 17 and out["skipped"] == 1
+    assert out["pytest_exit"] == 0 and out["wall_s"] == 402.6
+    assert out["fused_vs_unfused_fm_snr_db"] == 132.4
+    assert out["fast_precision_snr_db"] == 93.1
+    b = out["retiling_ulp_bounds"]
+    assert b["fm_full_block_vs_shard_sized_half_blocks"] == {
+        "bit_identical": False, "worst_ulp": 2.31}
+    assert b["pfb_full_vs_halves"]["bit_identical"] is True
+    # a failing run parses too
+    out2 = mod.parse_smoke_output("2 failed, 15 passed in 10s", 1, 10.0)
+    assert out2["failed"] == 2 and out2["passed"] == 15

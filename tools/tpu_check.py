@@ -25,22 +25,11 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> int:
-    env = dict(os.environ, LIBSDR_TPU_TESTS="1")
-    cmd = [sys.executable, "-m", "pytest",
-           os.path.join(ROOT, "tests", "test_tpu_smoke.py"),
-           "-q", "-s", *sys.argv[1:]]
-    t0 = time.time()
-    proc = subprocess.Popen(cmd, cwd=ROOT, env=env,
-                            stdout=subprocess.PIPE, text=True, bufsize=1)
-    lines = []
-    for line in proc.stdout:
-        sys.stdout.write(line)
-        lines.append(line.rstrip("\n"))
-    rc = proc.wait()
-    text = "\n".join(lines)
-
-    out = {"pytest_exit": rc, "wall_s": round(time.time() - t0, 1)}
+def parse_smoke_output(text: str, rc: int, wall_s: float) -> dict:
+    """SMOKE_r*.json payload from a pytest -q -s run's stdout: pass/fail
+    counts, the '[smoke] name=value' measured bounds, and the retiling
+    ulp lines (tested by tests/test_apps.py::test_tpu_check_smoke_parser)."""
+    out = {"pytest_exit": rc, "wall_s": round(wall_s, 1)}
     m = re.search(r"(\d+) passed", text)
     out["passed"] = int(m.group(1)) if m else 0
     for key in ("failed", "skipped", "error"):
@@ -60,6 +49,23 @@ def main() -> int:
         out["retiling_ulp_bounds"] = ulps
     out["metric"] = ("on-hardware smoke/parity suite result "
                      "(tests/test_tpu_smoke.py on the real TPU)")
+    return out
+
+
+def main() -> int:
+    env = dict(os.environ, LIBSDR_TPU_TESTS="1")
+    cmd = [sys.executable, "-m", "pytest",
+           os.path.join(ROOT, "tests", "test_tpu_smoke.py"),
+           "-q", "-s", *sys.argv[1:]]
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, cwd=ROOT, env=env,
+                            stdout=subprocess.PIPE, text=True, bufsize=1)
+    lines = []
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        lines.append(line.rstrip("\n"))
+    rc = proc.wait()
+    out = parse_smoke_output("\n".join(lines), rc, time.time() - t0)
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from _artifact import write_artifact
 
