@@ -60,7 +60,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"TUNNEL_PROBES_r{os.environ.get('LIBSDR_ROUND', '04')}.jsonl"))
+        f"TUNNEL_PROBES_r{os.environ.get('LIBSDR_ROUND', '05')}.jsonl"))
     args = ap.parse_args()
 
     relay = relay_state()
