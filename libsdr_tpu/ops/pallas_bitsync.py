@@ -59,6 +59,7 @@ _LANES = 128
 _MAX_TT = 2048         # time steps per grid chunk (VMEM-bound)
 _UNROLL = 8            # time steps per fori_loop iteration
 _MAX_RING = 512        # max majority window L (VMEM ring rows)
+_VMEM_BUDGET = 13_500_000  # same headroom rule as pallas_fir_mxu
 
 
 def _tt_for(t: int, sub: int) -> int:
@@ -235,13 +236,149 @@ def _kernel(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
                                   sout.at[1 - slot]).wait()
 
 
+def _tt_split(t: int, sub: int, ell: int) -> int:
+    """Chunk length for the split variant: its vectorized majority buffers
+    (ext + s_ext int32, bncr int8) cost ~11 KB x tt at sub=8, so the chunk
+    is sized against the VMEM budget independently of _tt_for."""
+    per_tt = sub * _LANES * (2      # sym u8 x2 slots
+                             + 2    # out i8 x2 slots
+                             + 4    # ext i32
+                             + 4    # s_ext i32
+                             + 1)   # bncr i8
+    fixed = ell * sub * _LANES * 8 + 1_500_000  # ext/s_ext tails + headroom
+    cap = max(_UNROLL, min(_MAX_TT, (_VMEM_BUDGET - fixed) // per_tt))
+    for tt in range(min(cap, t) // _UNROLL * _UNROLL, _UNROLL - 1, -_UNROLL):
+        if t % tt == 0 and (tt == t or (tt * sub) % 32 == 0):
+            return tt
+    return 0
+
+
+def _kernel_split(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
+                  out_hbm, sg_out, ss_out, ph_out, om_out, lb_out,
+                  sym_s, out_s, ext, s_ext, bncr, sin, sout, *,
+                  tt: int, sub: int, ell: int, omega_min: float,
+                  omega_max: float, gain: float, transition: bool):
+    """Split variant of :func:`_kernel`: the majority vote (windowed sign
+    sum + zero-crossing detect) is DATA-INDEPENDENT of the PLL state, so
+    it is computed for the whole chunk as ~L pipelined vector adds over a
+    time-extended sign buffer (``ext`` = carried last L-1 signs ++ this
+    chunk's signs, all time-ordered — no circular ring, no dynamic
+    addressing), leaving the serial fori_loop with only the true
+    recurrence (phase/omega/last_bits).  Arithmetic per lane is identical:
+    the windowed sum is an exact integer regardless of summation order.
+
+    Extra VMEM vs _kernel: ext ((tt+L-1)*sub rows i32), s_ext
+    ((tt+1)*sub rows i32), bncr (tt*sub rows i8) — _tt_split sizes the
+    chunk against the budget."""
+    ci = pl.program_id(0)
+    n_ci = pl.num_programs(0)
+    nring = ell - 1
+
+    def start_in(slot, ci_):
+        pltpu.make_async_copy(
+            sym_hbm.at[pl.ds(pl.multiple_of(ci_ * (tt * sub), 8), tt * sub), :],
+            sym_s.at[slot], sin.at[slot]).start()
+
+    slot = ci % 2
+
+    @pl.when(ci == 0)
+    def _():
+        start_in(0, ci)
+        # Carry state enters time-ordered (oldest first), and stays so.
+        sg_out[...] = sg_in[...]
+        ss_out[...] = ss_in[...]
+        ph_out[...] = ph_in[...]
+        om_out[...] = om_in[...]
+        lb_out[...] = lb_in[...]
+
+    @pl.when(ci + 1 < n_ci)
+    def _():
+        start_in(1 - slot, ci + 1)
+
+    pltpu.make_async_copy(sym_s.at[slot], sym_s.at[slot], sin.at[slot]).wait()
+
+    @pl.when(ci >= 2)
+    def _():
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+    # -- vectorized majority phase (no serial dependence) ------------------
+    # ext = [last L-1 signs (time-ordered) ; this chunk's signs]
+    ext[0:nring * sub, :] = sg_out[...]
+    ext[nring * sub:, :] = jnp.where(
+        sym_s[slot].astype(jnp.int32) > 0, 1, -1)
+    # windowed sum: s[t] = sum_{k=0..L-1} ext[t+k]  (exact in int32)
+    acc = ext[0:tt * sub, :]
+    for k in range(1, ell):
+        acc = acc + ext[pl.ds(k * sub, tt * sub), :]
+    s_ext[0:sub, :] = ss_out[...]          # s[-1]: carried windowed sum
+    s_ext[sub:, :] = acc
+    s_prev = s_ext[0:tt * sub, :]
+    bn = (acc > 0).astype(jnp.int32)
+    crossed = (((s_prev < 0) & (acc >= 0)) |
+               ((s_prev >= 0) & (acc < 0))).astype(jnp.int32)
+    bncr[...] = (bn | (crossed << 1)).astype(jnp.int8)
+    # carry exports of the vector phase: last windowed sum + last L-1 signs
+    ss_out[...] = acc[(tt - 1) * sub:, :]
+    if tt >= nring:
+        sg_out[...] = ext[pl.ds((tt) * sub, nring * sub), :]
+    else:
+        # chunk shorter than the window: shift the old ring up
+        old = sg_out[pl.ds(tt * sub, (nring - tt) * sub), :]
+        sg_out[0:(nring - tt) * sub, :] = old
+        sg_out[(nring - tt) * sub:, :] = ext[pl.ds(nring * sub, tt * sub), :]
+
+    # -- serial recurrence (phase/omega/last_bits only) ---------------------
+    def body(j, st):
+        phase, omega, lb = st
+        r = pl.multiple_of(j * (_UNROLL * sub), 8)
+        bu = bncr[pl.ds(r, _UNROLL * sub), :].astype(jnp.int32)
+        outs = []
+        for u in range(_UNROLL):
+            row = bu[u * sub:(u + 1) * sub, :]
+            bn = row & 1
+            crossed = (row & 2) > 0
+            phase = phase + omega
+            emit = phase >= 1.0
+            phase = jnp.where(emit, phase - 1.0, phase)
+            lb = jnp.where(emit, ((lb << 1) | bn) & 0xFFFF, lb)
+            if transition:
+                bit = (lb ^ (lb >> 1) ^ 1) & 1
+            else:
+                bit = lb & 1
+            omega = jnp.where(crossed, omega + gain * (0.5 - phase), omega)
+            omega = jnp.clip(omega, omega_min, omega_max)
+            outs.append(bit | (emit.astype(jnp.int32) << 1))
+        packed = jnp.concatenate(outs, axis=0).astype(jnp.int8)
+        out_s[slot, pl.ds(r, _UNROLL * sub), :] = packed
+        return phase, omega, lb
+
+    st = (ph_out[...], om_out[...], lb_out[...])
+    st = jax.lax.fori_loop(0, tt // _UNROLL, body, st)
+    ph_out[...], om_out[...], lb_out[...] = st
+
+    pltpu.make_async_copy(out_s.at[slot], out_hbm.at[ci],
+                          sout.at[slot]).start()
+
+    @pl.when(ci == n_ci - 1)
+    def _():
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+        @pl.when(n_ci > 1)
+        def _():
+            pltpu.make_async_copy(out_s.at[1 - slot], out_s.at[1 - slot],
+                                  sout.at[1 - slot]).wait()
+
+
 @functools.partial(jax.jit, static_argnames=("omega_min", "omega_max",
                                              "gain", "transition",
-                                             "interpret", "groups"))
+                                             "interpret", "groups",
+                                             "variant"))
 def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
                omega_min: float, omega_max: float, gain: float,
                transition: bool, interpret: bool = False,
-               groups: int = 0):
+               groups: int = 0, variant: str = "ring"):
     """Run majority vote + PLL over ``sym`` (T, M) uint8 symbols.
 
     Args (all per-channel state flattened to M lanes):
@@ -257,7 +394,10 @@ def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
     t, m = sym.shape
     nring = signs.shape[0]
     sub = m // _LANES
-    tt = _tt_for(t, sub)
+    if variant == "split":
+        tt = _tt_split(t, sub, nring + 1)
+    else:
+        tt = _tt_for(t, sub)
     n_chunks = t // tt
     if groups <= 0:
         # Latency-hiding default: interleave independent per-step chains
@@ -269,10 +409,31 @@ def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
                        memory_space=pltpu.VMEM)
     ring_spec = pl.BlockSpec((nring * sub, _LANES), lambda c: (0, 0),
                              memory_space=pltpu.VMEM)
+    if variant == "split":
+        kern = functools.partial(_kernel_split, tt=tt, sub=sub,
+                                 ell=nring + 1, omega_min=omega_min,
+                                 omega_max=omega_max, gain=gain,
+                                 transition=transition)
+        scratch = [pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
+                   pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
+                   pltpu.VMEM(((tt + nring) * sub, _LANES), jnp.int32),
+                   pltpu.VMEM(((tt + 1) * sub, _LANES), jnp.int32),
+                   pltpu.VMEM((tt * sub, _LANES), jnp.int8),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = functools.partial(_kernel, tt=tt, sub=sub, ell=nring + 1,
+                                 omega_min=omega_min, omega_max=omega_max,
+                                 gain=gain, transition=transition,
+                                 groups=groups)
+        scratch = [pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
+                   pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
+                   pltpu.VMEM((nring * sub, _LANES), jnp.int32),
+                   pltpu.VMEM((sub, _LANES), jnp.int32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
     out, sg2, ss2, ph2, om2, lb2 = pl.pallas_call(
-        functools.partial(_kernel, tt=tt, sub=sub, ell=nring + 1,
-                          omega_min=omega_min, omega_max=omega_max,
-                          gain=gain, transition=transition, groups=groups),
+        kern,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   ring_spec, rep, rep, rep, rep],
@@ -282,12 +443,7 @@ def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
                                         jnp.int8),
                    jax.ShapeDtypeStruct((nring * sub, _LANES), jnp.int32),
                    st_i, st_f, st_f, st_i],
-        scratch_shapes=[pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
-                        pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
-                        pltpu.VMEM((nring * sub, _LANES), jnp.int32),
-                        pltpu.VMEM((sub, _LANES), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=30 * t * m, transcendentals=0,
             bytes_accessed=2 * t * m),

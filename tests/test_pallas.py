@@ -428,6 +428,45 @@ def test_pallas_bitsync_lane_groups_bit_identical(rng):
             assert np.array_equal(np.asarray(a), np.asarray(b)), (g, i)
 
 
+def test_pallas_bitsync_split_variant_bit_identical(rng):
+    """The split kernel variant (vectorized whole-chunk majority precompute
+    + slim serial PLL loop, pll_pallas variant='split') is bit-identical
+    to the ring variant across chunking regimes — including chunks shorter
+    than the majority window (the ring-shift branch) and chained state."""
+    import jax.numpy as jnp
+
+    import libsdr_tpu.ops.pallas_bitsync as pb
+
+    def run(variant, t, m, L, sym, max_tt):
+        old = pb._MAX_TT
+        pb._MAX_TT = max_tt
+        try:
+            st = (jnp.zeros((L - 1, m), np.int32),
+                  jnp.zeros((m,), np.int32), jnp.zeros((m,), np.float32),
+                  jnp.full((m,), 1.0 / L, np.float32),
+                  jnp.zeros((m,), np.int32))
+            outs = []
+            for blk in sym:
+                o, *st = pb.pll_pallas(
+                    blk, *st, omega_min=1 / L * 0.995,
+                    omega_max=1 / L * 1.005, gain=5e-4, transition=True,
+                    interpret=True, variant=variant)
+                outs.append(np.asarray(o))
+            return outs + [np.asarray(x) for x in st]
+        finally:
+            pb._MAX_TT = old
+
+    for t, m, L, max_tt in ((256, 256, 20, 2048),   # single chunk
+                            (128, 512, 20, 16),     # multi-chunk
+                            (64, 512, 40, 8)):      # chunk < window
+        sym = [jnp.asarray(rng.integers(0, 2, (t, m)).astype(np.uint8)
+                           * 255) for _ in range(2)]
+        a = run("ring", t, m, L, sym, max_tt)
+        b = run("split", t, m, L, sym, max_tt)
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(x, y), (t, m, L, i)
+
+
 def test_bitsync_kernel_lane_padding_matches_scan(rng):
     """A narrow bank (64 < 128 lanes) reaches the kernel via zero-lane
     padding (ops/bitsync.py) and stays bit-exact vs the scan path,
