@@ -94,7 +94,8 @@ class BitStream(Processor):
             # bit-exact, ~5x faster on wide channel banks (VMEM sign ring +
             # register-resident PLL state instead of block cumsums and
             # per-step XLA slicing; see ops/pallas_bitsync.py).
-            from libsdr_tpu.ops.pallas_bitsync import pll_pallas
+            from libsdr_tpu.ops.pallas_bitsync import (pll_pallas,
+                                                       preferred_variant)
 
             def pad(a):
                 if m_pad == m_flat:
@@ -112,7 +113,7 @@ class BitStream(Processor):
                 pad(carry["last_bits"].reshape(m_flat)),
                 omega_min=self._omega_min, omega_max=self._omega_max,
                 gain=self._pll_gain, transition=mode_transition,
-                interpret=interp)
+                interpret=interp, variant=preferred_variant())
             out = out[..., :m_flat]
             sg2 = sg2[..., :m_flat]
             ss2, phase = ss2[..., :m_flat], phase[..., :m_flat]

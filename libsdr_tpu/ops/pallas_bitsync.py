@@ -78,6 +78,25 @@ def _tt_for(t: int, sub: int) -> int:
     return 0
 
 
+# Production kernel variant for BitStream.apply ('ring' | 'split').  Both
+# are bit-identical (tests); flip with set_variant after on-chip A/B.
+_VARIANT = "ring"
+
+
+def set_variant(name: str) -> None:
+    """Select the production bit-sync kernel variant ('ring' | 'split').
+    Callers must recompile (fresh jit) afterwards — Pipeline.compile
+    already wraps steps in fresh lambdas on re-bind."""
+    global _VARIANT
+    if name not in ("ring", "split"):
+        raise ValueError(name)
+    _VARIANT = name
+
+
+def preferred_variant() -> str:
+    return _VARIANT
+
+
 def _groups_for(sub: int) -> int:
     """Default lane-group split.  Hypothesis tested on chip (v5e,
     65536x1024, sub=8): if the per-step serial chain were latency-bound,
@@ -396,6 +415,8 @@ def pll_pallas(sym, signs, sym_sum, phase, omega, last_bits, *,
     sub = m // _LANES
     if variant == "split":
         tt = _tt_split(t, sub, nring + 1)
+        if tt == 0:            # split's bigger buffers don't fit: fall back
+            variant, tt = "ring", _tt_for(t, sub)
     else:
         tt = _tt_for(t, sub)
     n_chunks = t // tt
