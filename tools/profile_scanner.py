@@ -123,6 +123,27 @@ def main() -> None:
         timeit(lambda: bs_chained(), iters=1) / 4, 2)
     out["bitsync_ns_per_step"] = round(
         out["bitsync_chained_ms"] * 1e6 / t_full, 1)
+
+    # A/B: the split kernel variant (vectorized majority precompute,
+    # pallas_bitsync variant='split' — bit-identical, tests) on the same
+    # chained protocol.
+    from libsdr_tpu.ops import pallas_bitsync as _pb
+    _pb.set_variant("split")
+    try:
+        bs_step2 = jax.jit(lambda c, s: bs.apply(c, s))
+
+        def bs_chained2():
+            c, r = bsc, None
+            for _ in range(4):
+                c, r = bs_step2(c, sym)
+            return r
+
+        out["bitsync_split_chained_ms"] = round(
+            timeit(lambda: bs_chained2(), iters=1) / 4, 2)
+    except Exception as e:  # record instead of killing the profile
+        out["bitsync_split_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        _pb.set_variant("ring")
     out["bitsync_roofline"] = (
         "the PLL recurrence (fsk.cc:157-202 semantics, bit-exact) is "
         "serial in time: ~22 dependent vector ops per step (majority ring "
