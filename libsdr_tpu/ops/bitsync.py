@@ -235,7 +235,8 @@ def bitstream_bank_apply(entries):
         return [bs.apply(c, x) for bs, c, x in entries]
 
     from libsdr_tpu.ops.fir import kernel_dispatch
-    from libsdr_tpu.ops.pallas_bitsync import pll_pallas_bank
+    from libsdr_tpu.ops.pallas_bitsync import (pll_pallas_bank,
+                                               preferred_variant)
 
     from libsdr_tpu.ops.pallas_fir_mxu import to_device_cached
 
@@ -312,7 +313,7 @@ def bitstream_bank_apply(entries):
     out, sg2, ss2, ph2, om2, lb2 = pll_pallas_bank(
         pad(sym), pad(signs), pad(sym_sum), pad(phase), pad(omega),
         pad(last_bits), omin, omax, gain, trans, onehot,
-        ells=ells, interpret=interp)
+        ells=ells, interpret=interp, variant=preferred_variant())
 
     results = []
     off = 0

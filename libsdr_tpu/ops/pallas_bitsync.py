@@ -606,10 +606,134 @@ def _kernel_bank(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
                                   sout.at[1 - slot]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("ells", "interpret"))
+def _kernel_bank_split(sym_hbm, sg_in, ss_in, ph_in, om_in, lb_in,
+                       omin_v, omax_v, gain_v, trans_v, msk,
+                       out_hbm, sg_out, ss_out, ph_out, om_out, lb_out,
+                       sym_s, out_s, bncr, sin, sout, *,
+                       tt: int, sub: int, ells: tuple):
+    """Split variant of :func:`_kernel_bank` (see :func:`_kernel_split`):
+    the per-lane majority vote is vectorized for the whole chunk — ONE
+    inclusive doubling cumsum over the time-extended sign buffer (pure
+    value semantics: each pass reads the previous pass's value, so there
+    is no in-place aliasing), then each distinct window length L is two
+    slices + a subtract, mask-combined per lane (integer sums: order-
+    exact, bit-identical) — and the serial loop keeps only the
+    phase/omega/last_bits recurrence with per-lane parameters."""
+    ci = pl.program_id(0)
+    n_ci = pl.num_programs(0)
+    nring = max(ells) - 1
+
+    def start_in(slot, ci_):
+        pltpu.make_async_copy(
+            sym_hbm.at[pl.ds(pl.multiple_of(ci_ * (tt * sub), 8), tt * sub), :],
+            sym_s.at[slot], sin.at[slot]).start()
+
+    slot = ci % 2
+
+    @pl.when(ci == 0)
+    def _():
+        start_in(0, ci)
+        sg_out[...] = sg_in[...]
+        ss_out[...] = ss_in[...]
+        ph_out[...] = ph_in[...]
+        om_out[...] = om_in[...]
+        lb_out[...] = lb_in[...]
+
+    @pl.when(ci + 1 < n_ci)
+    def _():
+        start_in(1 - slot, ci + 1)
+
+    pltpu.make_async_copy(sym_s.at[slot], sym_s.at[slot], sin.at[slot]).wait()
+
+    @pl.when(ci >= 2)
+    def _():
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+    # -- vectorized majority (per-lane window via one shared cumsum) -------
+    nxt = tt + nring           # ext row blocks
+    sign = jnp.where(sym_s[slot].astype(jnp.int32) > 0, 1, -1)
+    extv = jnp.concatenate([sg_out[...], sign], axis=0)
+    zrow = jnp.zeros((sub, _LANES), jnp.int32)
+    # inclusive cumsum over row blocks by doubling (value semantics)
+    cs = extv
+    shift = 1
+    while shift < nxt:
+        pad = jnp.zeros((shift * sub, _LANES), jnp.int32)
+        cs = cs + jnp.concatenate([pad, cs[:(nxt - shift) * sub, :]], axis=0)
+        shift *= 2
+    czs = jnp.concatenate([zrow, cs], axis=0)  # czs[j] = sum_{i<=j-1}
+    # s[t] = czs[t+nring+1] - czs[t+nring+1-L]  per lane's L, mask-combined
+    acc = jnp.zeros((tt * sub, _LANES), jnp.int32)
+    for k, ellk in enumerate(ells):
+        hi = czs[(nring + 1) * sub:(nring + 1 + tt) * sub, :]
+        lo = czs[(nring + 1 - ellk) * sub:(nring + 1 - ellk + tt) * sub, :]
+        mrow = msk[pl.ds(k * sub, sub), :]
+        acc = acc + jnp.tile(mrow, (tt, 1)) * (hi - lo)
+    s_prev = jnp.concatenate([ss_out[...], acc[:(tt - 1) * sub, :]], axis=0)
+    bn = (acc > 0).astype(jnp.int32)
+    crossed = (((s_prev < 0) & (acc >= 0)) |
+               ((s_prev >= 0) & (acc < 0))).astype(jnp.int32)
+    bncr[...] = (bn | (crossed << 1)).astype(jnp.int8)
+    ss_out[...] = acc[(tt - 1) * sub:, :]
+    if tt >= nring:
+        sg_out[...] = extv[tt * sub:, :]
+    else:
+        sg_out[...] = jnp.concatenate(
+            [sg_out[pl.ds(tt * sub, (nring - tt) * sub), :],
+             extv[nring * sub:, :]], axis=0)
+
+    # -- serial recurrence with per-lane parameters -------------------------
+    omin = omin_v[...]
+    omax = omax_v[...]
+    gn = gain_v[...]
+    tr = trans_v[...] > 0
+
+    def body(j, st):
+        phase, omega, lb = st
+        r = pl.multiple_of(j * (_UNROLL * sub), 8)
+        bu = bncr[pl.ds(r, _UNROLL * sub), :].astype(jnp.int32)
+        outs = []
+        for u in range(_UNROLL):
+            row = bu[u * sub:(u + 1) * sub, :]
+            bn = row & 1
+            crossed = (row & 2) > 0
+            phase = phase + omega
+            emit = phase >= 1.0
+            phase = jnp.where(emit, phase - 1.0, phase)
+            lb = jnp.where(emit, ((lb << 1) | bn) & 0xFFFF, lb)
+            bit = jnp.where(tr, (lb ^ (lb >> 1) ^ 1) & 1, lb & 1)
+            omega = jnp.where(crossed, omega + gn * (0.5 - phase), omega)
+            omega = jnp.clip(omega, omin, omax)
+            outs.append(bit | (emit.astype(jnp.int32) << 1))
+        packed = jnp.concatenate(outs, axis=0).astype(jnp.int8)
+        out_s[slot, pl.ds(r, _UNROLL * sub), :] = packed
+        return phase, omega, lb
+
+    st = (ph_out[...], om_out[...], lb_out[...])
+    st = jax.lax.fori_loop(0, tt // _UNROLL, body, st)
+    ph_out[...], om_out[...], lb_out[...] = st
+
+    pltpu.make_async_copy(out_s.at[slot], out_hbm.at[ci],
+                          sout.at[slot]).start()
+
+    @pl.when(ci == n_ci - 1)
+    def _():
+        pltpu.make_async_copy(out_s.at[slot], out_s.at[slot],
+                              sout.at[slot]).wait()
+
+        @pl.when(n_ci > 1)
+        def _():
+            pltpu.make_async_copy(out_s.at[1 - slot], out_s.at[1 - slot],
+                                  sout.at[1 - slot]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("ells", "interpret",
+                                             "variant"))
 def pll_pallas_bank(sym, signs, sym_sum, phase, omega, last_bits,
                     omega_min_v, omega_max_v, gain_v, transition_v,
-                    ell_onehot, *, ells: tuple, interpret: bool = False):
+                    ell_onehot, *, ells: tuple, interpret: bool = False,
+                    variant: str = "ring"):
     """Banked majority+PLL over ``sym`` (T, M) uint8: per-lane parameters.
 
     Args beyond :func:`pll_pallas`:
@@ -627,7 +751,12 @@ def pll_pallas_bank(sym, signs, sym_sum, phase, omega, last_bits,
     nring = max(ells) - 1
     assert signs.shape[0] == nring
     sub = m // _LANES
-    tt = _tt_for(t, sub)
+    if variant == "split":
+        tt = _tt_split(t, sub, max(ells))
+        if tt == 0:
+            variant, tt = "ring", _tt_for(t, sub)
+    else:
+        tt = _tt_for(t, sub)
     n_chunks = t // tt
     st_f = jax.ShapeDtypeStruct((sub, _LANES), jnp.float32)
     st_i = jax.ShapeDtypeStruct((sub, _LANES), jnp.int32)
@@ -637,8 +766,24 @@ def pll_pallas_bank(sym, signs, sym_sum, phase, omega, last_bits,
                              memory_space=pltpu.VMEM)
     msk_spec = pl.BlockSpec((len(ells) * sub, _LANES), lambda c: (0, 0),
                             memory_space=pltpu.VMEM)
+    if variant == "split":
+        kern = functools.partial(_kernel_bank_split, tt=tt, sub=sub,
+                                 ells=ells)
+        scratch = [pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
+                   pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
+                   pltpu.VMEM((tt * sub, _LANES), jnp.int8),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = functools.partial(_kernel_bank, tt=tt, sub=sub, ells=ells)
+        scratch = [pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
+                   pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
+                   pltpu.VMEM((nring * sub, _LANES), jnp.int32),
+                   pltpu.VMEM((sub, _LANES), jnp.int32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
     out, sg2, ss2, ph2, om2, lb2 = pl.pallas_call(
-        functools.partial(_kernel_bank, tt=tt, sub=sub, ells=ells),
+        kern,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   ring_spec, rep, rep, rep, rep,
@@ -649,12 +794,7 @@ def pll_pallas_bank(sym, signs, sym_sum, phase, omega, last_bits,
                                         jnp.int8),
                    jax.ShapeDtypeStruct((nring * sub, _LANES), jnp.int32),
                    st_i, st_f, st_f, st_i],
-        scratch_shapes=[pltpu.VMEM((2, tt * sub, _LANES), jnp.uint8),
-                        pltpu.VMEM((2, tt * sub, _LANES), jnp.int8),
-                        pltpu.VMEM((nring * sub, _LANES), jnp.int32),
-                        pltpu.VMEM((sub, _LANES), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=30 * t * m, transcendentals=0,
             bytes_accessed=2 * t * m),

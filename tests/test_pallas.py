@@ -745,29 +745,41 @@ def test_bitstream_bank_matches_individual(rng):
             outs.append((np.asarray(y.data), np.asarray(y.valid)))
         ref[name] = outs
 
-    # banked kernel (interpret mode), same streaming
-    with kernel_mode("interpret"):
-        entries = [(bs, bs.init_carry(), None) for _, bs, _ in configs]
-        assert bitstream_bank_supported(
-            [(bs, c, jnp.asarray(xs[name][:, :t]))
-             for (name, bs, _), (_, c, _) in zip(configs, entries)])
-        carries = [c for _, c, _ in entries]
-        got = {name: [] for name, _, _ in configs}
-        for i in range(2):
-            res = bitstream_bank_apply(
-                [(bs, carries[j], jnp.asarray(xs[name][:, i * t:(i + 1) * t]))
-                 for j, (name, bs, _) in enumerate(configs)])
-            for j, (name, _, _) in enumerate(configs):
-                carries[j] = res[j][0]
-                got[name].append((np.asarray(res[j][1].data),
-                                  np.asarray(res[j][1].valid)))
+    # banked kernel (interpret mode), same streaming — BOTH kernel
+    # variants (ring and the vectorized-majority split) must match
+    from libsdr_tpu.ops import pallas_bitsync as _pb
 
-    for name, _, _ in configs:
-        for i in range(2):
-            np.testing.assert_array_equal(ref[name][i][0], got[name][i][0],
-                                          err_msg=f"{name} block {i} bits")
-            np.testing.assert_array_equal(ref[name][i][1], got[name][i][1],
-                                          err_msg=f"{name} block {i} valid")
+    for variant in ("ring", "split"):
+        _pb.set_variant(variant)
+        try:
+            with kernel_mode("interpret"):
+                entries = [(bs, bs.init_carry(), None)
+                           for _, bs, _ in configs]
+                assert bitstream_bank_supported(
+                    [(bs, c, jnp.asarray(xs[name][:, :t]))
+                     for (name, bs, _), (_, c, _) in zip(configs, entries)])
+                carries = [c for _, c, _ in entries]
+                got = {name: [] for name, _, _ in configs}
+                for i in range(2):
+                    res = bitstream_bank_apply(
+                        [(bs, carries[j],
+                          jnp.asarray(xs[name][:, i * t:(i + 1) * t]))
+                         for j, (name, bs, _) in enumerate(configs)])
+                    for j, (name, _, _) in enumerate(configs):
+                        carries[j] = res[j][0]
+                        got[name].append((np.asarray(res[j][1].data),
+                                          np.asarray(res[j][1].valid)))
+        finally:
+            _pb.set_variant("ring")
+
+        for name, _, _ in configs:
+            for i in range(2):
+                np.testing.assert_array_equal(
+                    ref[name][i][0], got[name][i][0],
+                    err_msg=f"{variant} {name} block {i} bits")
+                np.testing.assert_array_equal(
+                    ref[name][i][1], got[name][i][1],
+                    err_msg=f"{variant} {name} block {i} valid")
 
 
 def test_multimode_banked_step_matches_unbanked(rng):
