@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--block", type=int, default=512 * 1024)
     ap.add_argument("--ks", type=int, nargs="*", default=[1, 2, 4, 8, 16])
+    ap.add_argument("--small-block", type=int, default=64 * 1024)
     args = ap.parse_args()
 
     import jax
@@ -88,6 +89,50 @@ def main() -> None:
     base = out.get("k1_msps", 1.0)
     out["best_speedup_vs_k1"] = round(
         max(out[f"k{k}_msps"] for k in args.ks) / base, 2)
+
+    # TRUE low-latency config: small blocks, where the ~3 ms serialized
+    # dispatch floor dominates a ~0.5 ms compute step — the regime
+    # chunks_per_dispatch exists for (the big-block section above shows
+    # the floor amortized is only ~20% of its step, capping its speedup
+    # near 1.25 by construction).
+    small = args.small_block
+    ps = Pipeline([IQBaseBand(fc=fs / 8, width=200e3, order=64, decim=4,
+                              design="textbook"), FMDemod(), FMDeemph()])
+    ps.bind(StreamSpec(np.complex64, fs, small, channels=(n_ch,)))
+    xs1 = cplx.Complex(x1.re[:, :small], x1.im[:, :small])
+    out["small_block"] = small
+
+    def measure_p(p, step, xs, k, force):
+        carry = p.init_carry()
+        c, y = step(carry, xs)
+        force(y)
+        best = float("inf")
+        iters = max(4, 64 // k)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = carry
+            for _ in range(iters):
+                c, y = step(c, xs)
+            force(y)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return n_ch * small * k / best / 1e6, best
+
+    msps, best = measure_p(ps, ps.compile(), xs1, 1, force1)
+    out["small_k1_msps"] = round(msps, 1)
+    out["small_k1_latency_ms"] = round(best * 1e3, 3)
+    for k in args.ks:
+        if k == 1:
+            continue
+        xs_t = tuple(cplx.Complex(xs1.re + float(i), xs1.im)
+                     for i in range(k))
+        msps, best = measure_p(ps, ps.compile_chunked("unroll"), xs_t, k,
+                               lambda ys: float(jnp.sum(ys[-1])))
+        out[f"small_k{k}_msps"] = round(msps, 1)
+        out[f"small_k{k}_latency_ms"] = round(best * 1e3, 3)
+        del xs_t
+    out["small_best_speedup_vs_k1"] = round(
+        max(out[f"small_k{k}_msps"] for k in args.ks if k != 1)
+        / out["small_k1_msps"], 2)
     out["metric"] = ("streaming FM bank Msps vs chunks-per-dispatch "
                      "(latency = ms per dispatch of K blocks)")
     out["protocol"] = (

@@ -144,6 +144,9 @@ def main() -> None:
         out["bitsync_split_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
         _pb.set_variant("ring")
+
+    _, bits = bs_step(bsc, sym)
+    force(bits)
     out["bitsync_roofline"] = (
         "the PLL recurrence (fsk.cc:157-202 semantics, bit-exact) is "
         "serial in time: ~22 dependent vector ops per step (majority ring "
