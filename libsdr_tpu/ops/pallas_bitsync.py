@@ -41,8 +41,14 @@ dependency-latency-bound — unroll 8->32 and chunk-size sweeps move it
 classic latency-hiding interleave; ``groups=``) measures 7.57/7.56/8.30/
 9.60 ms for groups=1/2/4/8, i.e. no win.  ~22 dependent vector ops per
 step x 2-5 native VPU ops each ~= the observed ~100 cycles/step.  The
-scaling axis is lanes: throughput grows linearly with channel count at
-equal work (see the ax25_wide bench row).
+``variant='split'`` restructure (vectorized whole-chunk majority
+precompute + slim serial loop, bit-identical) was ALSO measured on chip:
+13.54 ms vs ring's 13.07 ms at the scanner config
+(SCANNERPROFILE_r05.json) — the removed serial ops are bought back by
+the precompute's own passes, so 'ring' stays the default and both
+negative results are recorded here.  The scaling axis is lanes:
+throughput grows linearly with channel count at equal work (see the
+ax25_wide bench row).
 """
 
 from __future__ import annotations
