@@ -1,11 +1,9 @@
-"""Streaming (low-latency) throughput vs chunks_per_dispatch — VERDICT r2
-weak #5: small-block configs pay this environment's ~2-4 ms per-dispatch
-tunnel floor; chaining K blocks per dispatch (lax.scan over the carry,
-Pipeline.compile_chunked / run_pipeline(chunks_per_dispatch=K)) amortizes
-it K-fold at a latency budget of K blocks.
-
-Config: the 128-channel x 512k-sample FM bank (the documented streaming
-config).  Prints one JSON object and writes STREAMING_r*.json.
+"""Streaming throughput vs chunks_per_dispatch (Pipeline.compile_chunked /
+run_pipeline(chunks_per_dispatch=K)) — both chunked modes: the production
+UNROLLED tuple-of-blocks step and the retired lax.scan stacked mode
+(kept to document its staging-copy regression, STREAMING_r04), on the
+128-channel x 512k FM bank plus a true small-block low-latency section.
+Prints one JSON object and writes STREAMING_r*.json.
 """
 
 from __future__ import annotations
