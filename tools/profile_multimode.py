@@ -123,10 +123,10 @@ def main() -> None:
     # comparable to MULTIMODE_r*'s compute row (an un-chained loop lets the
     # async dispatcher overlap iterations and reads ~2x too fast).
     step, init_carry, _ = build_bank(fs, block, m, mode_map)
+    carry0 = init_carry()   # built OUTSIDE the timed body (device uploads)
 
     def chained_step():
-        c = init_carry()
-        r = None
+        c, r = carry0, None
         for _ in range(6):
             c, r = step(c, x)
         return r
