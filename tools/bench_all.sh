@@ -31,7 +31,9 @@ run() {  # run <timeout_s> <name> <cmd...>
 }
 
 if [ "${1:-}" != "quick" ]; then
-  run 1500 smoke $PY tools/tpu_check.py
+  # 2700s: the suite is ~6 min healthy, but tpu_check's silent-output
+  # watchdog (300s) may kill one wedged attempt and rerun from scratch.
+  run 2700 smoke $PY tools/tpu_check.py
 fi
 # Headline: also persist the JSON line as an artifact.  The driver captures
 # BENCH_r*.json only at END of round — if the tunnel dies between a good

@@ -26,7 +26,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def parse_smoke_output(text: str, rc: int, wall_s: float) -> dict:
-    """SMOKE_r*.json payload from a pytest -q -s run's stdout: pass/fail
+    """SMOKE_r*.json payload from a pytest -v/-q -s run's stdout: pass/fail
     counts, the '[smoke] name=value' measured bounds, and the retiling
     ulp lines (tested by tests/test_apps.py::test_tpu_check_smoke_parser)."""
     out = {"pytest_exit": rc, "wall_s": round(wall_s, 1)}
@@ -52,20 +52,66 @@ def parse_smoke_output(text: str, rc: int, wall_s: float) -> dict:
     return out
 
 
+def run_suite_once(cmd, env, stall_s: float):
+    """Run the suite, streaming its output; if it goes silent for
+    ``stall_s`` seconds, kill the whole process group and return rc=None.
+
+    The axon tunnel has been observed to wedge transiently MID-run (r5:
+    the scanner smoke test stalled >19 min inside a run, then passed alone
+    in 19 s) — a silent-output watchdog distinguishes that environment
+    stall from a slow compile, which still prints a test dot every few
+    minutes."""
+    import queue
+    import signal
+    import threading
+
+    proc = subprocess.Popen(cmd, cwd=ROOT, env=env, stdout=subprocess.PIPE,
+                            text=True, bufsize=1, start_new_session=True)
+    q: "queue.Queue[str | None]" = queue.Queue()
+    t = threading.Thread(target=lambda: ([q.put(l) for l in proc.stdout],
+                                         q.put(None)), daemon=True)
+    t.start()
+    lines = []
+    while True:
+        try:
+            line = q.get(timeout=stall_s)
+        except queue.Empty:
+            sys.stdout.write(f"[tpu_check] no output for {stall_s:.0f}s "
+                             "— killing the wedged run\n")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            return None, lines
+        if line is None:
+            return proc.wait(), lines
+        sys.stdout.write(line)
+        sys.stdout.flush()  # keep progress visible when stdout is a file
+        lines.append(line.rstrip("\n"))
+
+
 def main() -> int:
     env = dict(os.environ, LIBSDR_TPU_TESTS="1")
+    # -v (not -q): pytest's -q dots carry no newline, so a line-buffered
+    # reader sees NOTHING between two tests that print — which made a slow
+    # suite indistinguishable from a wedged one (r5).  -v emits one
+    # newline-terminated line per completed test.
     cmd = [sys.executable, "-m", "pytest",
            os.path.join(ROOT, "tests", "test_tpu_smoke.py"),
-           "-q", "-s", *sys.argv[1:]]
+           "-v", "-s", *sys.argv[1:]]
     t0 = time.time()
-    proc = subprocess.Popen(cmd, cwd=ROOT, env=env,
-                            stdout=subprocess.PIPE, text=True, bufsize=1)
-    lines = []
-    for line in proc.stdout:
-        sys.stdout.write(line)
-        lines.append(line.rstrip("\n"))
-    rc = proc.wait()
+    stall_retries = 0
+    for attempt in range(2):
+        rc, lines = run_suite_once(cmd, env, stall_s=600.0)
+        if rc is not None:
+            break
+        stall_retries += 1
+    else:
+        rc = 124  # both attempts stalled; report like a timeout
     out = parse_smoke_output("\n".join(lines), rc, time.time() - t0)
+    if stall_retries:
+        out["stall_retries"] = stall_retries
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from _artifact import write_artifact
 
